@@ -1,0 +1,32 @@
+"""Test configuration: CPU backend with 8 virtual devices.
+
+Mirrors the survey's test strategy (SURVEY.md §4): all unit tests run on
+the CPU backend so they are hermetic and fast; an 8-device virtual mesh
+(via --xla_force_host_platform_device_count) exercises every sharding /
+collective path without TPU hardware.
+"""
+import os
+
+# Must be set before jax initializes its backends.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture(scope="session")
+def eight_devices():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return devs[:8]

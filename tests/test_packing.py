@@ -1,0 +1,59 @@
+"""Packed INT4/3/2/8 storage round-trip tests."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tgq.core.packing import PackedLinear, pack_rows, unpack_rows
+from tgq.core.quant import QuantSpec, expand_params, find_params, quantize, dequantize
+
+
+@pytest.mark.parametrize("bits", [2, 3, 4, 8])
+def test_pack_unpack_roundtrip(rng, bits):
+    n = 256
+    codes = rng.integers(0, 2**bits, size=(16, n)).astype(np.int32)
+    packed = pack_rows(jnp.asarray(codes), bits)
+    out = unpack_rows(packed, bits)
+    np.testing.assert_array_equal(np.asarray(out), codes)
+
+
+@pytest.mark.parametrize("bits", [2, 3, 4, 8])
+def test_packed_sizes(bits):
+    n = 256
+    codes = jnp.zeros((4, n), jnp.int32)
+    packed = pack_rows(codes, bits)
+    assert packed.dtype == jnp.uint8
+    assert packed.size * 8 == 4 * n * bits  # exactly b bits per code
+
+
+@pytest.mark.parametrize("bits", [2, 3, 4])
+@pytest.mark.parametrize("sym", [False, True])
+def test_packed_linear_dequant_matches_fake_quant(rng, bits, sym):
+    spec = QuantSpec(bits=bits, group_size=64, sym=sym)
+    w = rng.normal(size=(8, 128)).astype(np.float32)
+    p = find_params(jnp.asarray(w), spec)
+    scale, zero = expand_params(p, 128)
+    q = quantize(jnp.asarray(w), scale, zero, spec)
+    wq = dequantize(q, scale, zero)
+
+    packed = PackedLinear.from_codes(q.astype(jnp.int32), p.scale, p.zero, spec)
+    np.testing.assert_allclose(np.asarray(packed.dequantize()), np.asarray(wq), rtol=1e-6, atol=1e-6)
+
+
+def test_packed_linear_is_pytree(rng):
+    import jax
+
+    spec = QuantSpec(bits=4, group_size=-1, sym=False)
+    w = rng.normal(size=(8, 128)).astype(np.float32)
+    p = find_params(jnp.asarray(w), spec)
+    scale, zero = expand_params(p, 128)
+    q = quantize(jnp.asarray(w), scale, zero, spec)
+    packed = PackedLinear.from_codes(q.astype(jnp.int32), p.scale, p.zero, spec)
+    leaves = jax.tree_util.tree_leaves(packed)
+    assert len(leaves) == 3  # codes, scale, zero
+
+    @jax.jit
+    def deq(pl: PackedLinear):
+        return pl.dequantize()
+
+    out = deq(packed)
+    assert out.shape == (8, 128)

@@ -1,0 +1,158 @@
+"""Packed sub-byte integer weight storage (INT8/4/3/2).
+
+The reference leaves packed export as a roadmap item (README.md:133) and
+saves dequantized fp16; here packed formats are first-class so the serving
+engine can keep weights INT in HBM and dequantize in VMEM at the MXU edge.
+
+Layouts are chosen for TPU unpacking cost, not byte-compatibility with any
+GPU format.  All packing runs along the input-feature (contraction) axis of
+an (out, in) weight:
+
+- **int8**: raw int8 codes.
+- **int4**: two codes per int8 in *split-half* layout — byte ``j`` holds
+  code ``j`` (low nibble) and code ``j + n/2`` (high nibble).  Unpacking
+  yields two *contiguous* half-blocks (two shifts + masks), no lane
+  interleave — a cheap VPU op inside a matmul kernel.
+- **int2**: four codes per int8 in split-quarter layout (same idea).
+- **int3**: three *bit-planes*, each packing 8 codes per int8 in
+  split-eighth layout; code ``k`` of eighth ``e`` lives at bit ``e`` of
+  byte ``k mod n/8`` in each plane.  Exactly 3 bits/code with no waste and
+  contiguous unpacked chunks.
+
+Symmetric codes (range ``[-max_q, max_q]``) are stored biased by
+``+max_q`` so every stored code is unsigned; the bias is folded into the
+zero-point, so dequantization is always ``(code - zero') * scale``.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from tgq.core.quant import QuantSpec
+
+
+def _split_pack(codes: jax.Array, per_byte: int, bits: int) -> jax.Array:
+    """Pack ``per_byte`` equal contiguous chunks of the last axis into int8."""
+    *lead, n = codes.shape
+    assert n % per_byte == 0, (n, per_byte)
+    chunk = n // per_byte
+    c = codes.astype(jnp.int32).reshape(*lead, per_byte, chunk)
+    shifts = (jnp.arange(per_byte, dtype=jnp.int32) * bits).reshape(
+        *(1 for _ in lead), per_byte, 1
+    )
+    word = jnp.sum(c << shifts, axis=-2)
+    return word.astype(jnp.uint8)
+
+
+def _split_unpack(packed: jax.Array, per_byte: int, bits: int) -> jax.Array:
+    *lead, chunk = packed.shape
+    w = packed.astype(jnp.int32)
+    mask = (1 << bits) - 1
+    chunks = [(w >> (i * bits)) & mask for i in range(per_byte)]
+    return jnp.concatenate(chunks, axis=-1)
+
+
+def _bitplane_pack(codes: jax.Array, bits: int) -> jax.Array:
+    """Pack b-bit codes as ``bits`` bit-planes, 8 codes per byte per plane."""
+    *lead, n = codes.shape
+    assert n % 8 == 0, n
+    chunk = n // 8
+    c = codes.astype(jnp.int32).reshape(*lead, 8, chunk)
+    eighth = jnp.arange(8, dtype=jnp.int32).reshape(*(1 for _ in lead), 8, 1)
+    planes = []
+    for b in range(bits):
+        bit = (c >> b) & 1
+        planes.append(jnp.sum(bit << eighth, axis=-2).astype(jnp.uint8))
+    return jnp.stack(planes, axis=-2)  # (..., bits, n/8)
+
+
+def _bitplane_unpack(planes: jax.Array, bits: int) -> jax.Array:
+    *lead, nbits, chunk = planes.shape
+    assert nbits == bits
+    p = planes.astype(jnp.int32)
+    chunks = []
+    for e in range(8):
+        val = jnp.zeros((*lead, chunk), dtype=jnp.int32)
+        for b in range(bits):
+            val = val | (((p[..., b, :] >> e) & 1) << b)
+        chunks.append(val)
+    return jnp.concatenate(chunks, axis=-1)
+
+
+def pack_rows(codes: jax.Array, bits: int) -> jax.Array:
+    """Pack non-negative integer codes (any leading shape, last axis = in)."""
+    if bits == 8:
+        return codes.astype(jnp.uint8)
+    if bits == 4:
+        return _split_pack(codes, 2, 4)
+    if bits == 2:
+        return _split_pack(codes, 4, 2)
+    if bits == 3:
+        return _bitplane_pack(codes, 3)
+    raise ValueError(f"unsupported bit width {bits}")
+
+
+def unpack_rows(packed: jax.Array, bits: int) -> jax.Array:
+    """Inverse of :func:`pack_rows`; returns int32 codes."""
+    if bits == 8:
+        return packed.astype(jnp.int32)
+    if bits == 4:
+        return _split_unpack(packed, 2, 4)
+    if bits == 2:
+        return _split_unpack(packed, 4, 2)
+    if bits == 3:
+        return _bitplane_unpack(packed, 3)
+    raise ValueError(f"unsupported bit width {bits}")
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PackedLinear:
+    """A quantized linear layer's on-HBM representation.
+
+    ``codes`` are stored unsigned (symmetric codes biased by +max_q, bias
+    folded into ``zero``), packed along in_features.  ``scale``/``zero``
+    are per-group, shape (out, n_groups), fp32.
+    """
+
+    codes: jax.Array
+    scale: jax.Array
+    zero: jax.Array
+    bits: int = dataclasses.field(metadata={"static": True})
+    group_size: int = dataclasses.field(metadata={"static": True})
+    in_features: int = dataclasses.field(metadata={"static": True})
+    out_features: int = dataclasses.field(metadata={"static": True})
+
+    @classmethod
+    def from_codes(
+        cls, q: jax.Array, scale: jax.Array, zero: jax.Array, spec: QuantSpec
+    ) -> "PackedLinear":
+        """From signed/unsigned integer codes (out, in) + per-group params."""
+        m, n = q.shape
+        bias = spec.max_q if spec.sym else 0
+        stored = (q + bias).astype(jnp.int32)
+        return cls(
+            codes=pack_rows(stored, spec.bits),
+            scale=scale.astype(jnp.float32),
+            zero=(zero + bias).astype(jnp.float32),
+            bits=spec.bits,
+            group_size=spec.group_size if spec.group_size > 0 else n,
+            in_features=n,
+            out_features=m,
+        )
+
+    def dequantize(self, dtype=jnp.float32) -> jax.Array:
+        """Full dequantization to (out, in) — reference path for tests/eval."""
+        q = unpack_rows(self.codes, self.bits).astype(jnp.float32)
+        g = self.group_size
+        reps = self.in_features // self.scale.shape[1]
+        scale = jnp.repeat(self.scale, reps, axis=1)
+        zero = jnp.repeat(self.zero, reps, axis=1)
+        del g
+        return ((q - zero) * scale).astype(dtype)
+
+    @property
+    def nbytes(self) -> int:
+        return sum(x.size * x.dtype.itemsize for x in (self.codes, self.scale, self.zero))
