@@ -144,7 +144,7 @@ def quantize_weight(
     w: jax.Array,
     factor: FactorResult,
     spec: QuantSpec,
-    block_size: int = 512,
+    block_size: int = 256,
     backend: str = "jnp",
     with_error: bool = True,
 ) -> QuantizeResult:
