@@ -1,0 +1,90 @@
+"""End-to-end slice: tiny Qwen3-style model + synthetic calibration →
+layer-sequential quantization → strided-PPL eval (SURVEY.md §7 step 3).
+
+The acceptance logic mirrors the reference's empirical gate: quantized PPL
+must track the fp baseline within bit-width-appropriate deltas, and the
+TruncGPTQ solver must not be worse than plain RTN.
+"""
+import numpy as np
+import jax
+import pytest
+
+from tgq.calib import QuantizeConfig, quantize_model, synthetic_calibration
+from tgq.calib.data import synthetic_eval_stream
+from tgq.eval import perplexity_from_token_stream
+from tgq.models import PRESETS, init_params
+
+CFG = PRESETS["tiny-qwen3"]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_params(CFG, jax.random.key(0))
+    calib = synthetic_calibration(CFG.vocab_size, n_samples=8, seq_len=64, seed=42)
+    eval_ids = synthetic_eval_stream(CFG.vocab_size, 2048, seed=43)
+    base_ppl = perplexity_from_token_stream(
+        params, CFG, eval_ids, max_length=64, stride=32, attn_impl="naive"
+    )
+    return params, calib, eval_ids, base_ppl
+
+
+def run(setup, mode, bits=8, **kw):
+    import copy
+
+    params, calib, eval_ids, base_ppl = setup
+    p = copy.deepcopy(params)
+    qcfg = QuantizeConfig(mode=mode, w_bits=bits, group_size=32,
+                          batch_size=4, block_size=32, attn_impl="naive", **kw)
+    p, packed, log = quantize_model(p, CFG, calib, qcfg)
+    ppl = perplexity_from_token_stream(
+        p, CFG, eval_ids, max_length=64, stride=32, attn_impl="naive"
+    )
+    return p, packed, log, ppl, base_ppl
+
+
+def test_eigh_8bit_ppl_close_to_baseline(setup):
+    _, packed, log, ppl, base = run(setup, "eigh", bits=8, eps=1e-6,
+                                    threshold_method="energy")
+    assert np.isfinite(ppl)
+    assert ppl < base * 1.05, (ppl, base)
+    # every linear of every layer quantized and packed
+    assert len(packed) == CFG.num_layers * 7
+    assert len(log["layer_stats"]) == CFG.num_layers * 7
+    assert log["metrics"]["total_time"] > 0
+
+
+def test_eigh_4bit_beats_or_matches_rtn(setup):
+    _, _, _, ppl_eigh, base = run(setup, "eigh", bits=4, eps=1e-8,
+                                  threshold_method="energy")
+    _, _, _, ppl_rtn, _ = run(setup, "rtn", bits=4)
+    assert np.isfinite(ppl_eigh) and np.isfinite(ppl_rtn)
+    # GPTQ-style error propagation should not be (meaningfully) worse
+    assert ppl_eigh < ppl_rtn * 1.10, (ppl_eigh, ppl_rtn, base)
+
+
+def test_gptq_mode_runs(setup):
+    _, _, log, ppl, base = run(setup, "gptq", bits=8, actorder=True)
+    assert np.isfinite(ppl) and ppl < base * 1.05
+    # gptq mode is full rank
+    assert all(s["rank"] in (CFG.hidden_size, CFG.q_size, CFG.intermediate_size)
+               for s in log["layer_stats"])
+
+
+def test_svd_mode_runs(setup):
+    _, _, log, ppl, base = run(setup, "svd", bits=8, eps=1e-6,
+                               threshold_method="energy", sketch_ratio=4.0)
+    assert np.isfinite(ppl) and ppl < base * 1.10
+
+
+def test_packed_export_matches_written_weights(setup):
+    p, packed, _, _, _ = run(setup, "eigh", bits=4, eps=1e-8,
+                             threshold_method="energy")
+    from tgq.models.causal_lm import get_nested
+
+    pl = packed["layers.0.self_attn.q_proj"]
+    w_written = np.asarray(
+        get_nested(p["model"]["layers"][0], "self_attn.q_proj")["w"]
+    ).astype(np.float32)
+    w_packed = np.asarray(pl.dequantize())
+    # bf16 write-back is the only difference
+    assert np.abs(w_written - w_packed).max() < 0.01

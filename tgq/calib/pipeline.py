@@ -1,0 +1,261 @@
+"""Layer-sequential calibration + quantization driver.
+
+TPU-native re-design of the reference pipeline (quantize.py:49-294):
+
+- No hooks, no Catcher exception hack: the model is first-party, so the
+  driver calls :func:`embed_tokens` and the decoder-layer *pieces*
+  (attn_input / attn_core / mlp_input / mlp_act) to obtain each
+  quantization group's input activations directly.
+- Per-layer-group Hessians are accumulated on-device with jitted GEMMs;
+  factorization runs on the host in f64 (no f64 on TPU); the blockwise
+  quantization loop runs on-device.
+- The model's parameter tree lives on the host; one layer at a time is
+  placed on device (the reference's CPU↔GPU layer migration, quantize.py:
+  106,250, re-expressed as device_put / device_get of a pytree).
+- Sequential inter-layer error propagation: after a layer is quantized,
+  calibration activations are re-forwarded through the *quantized* layer
+  to produce the next layer's inputs (quantize.py:238-249).
+- Emits a results-log dict schema-compatible with the reference's
+  results.json ({config, layer_stats:[{name, rank, time}], metrics}).
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tgq.core.packing import PackedLinear
+from tgq.core.quant import QuantSpec, expand_params, find_params, quantize
+from tgq.models.causal_lm import (
+    Params,
+    attn_core,
+    attn_input,
+    decoder_layer,
+    embed_tokens,
+    get_nested,
+    mlp_act,
+    mlp_input,
+    rope_cache,
+    sequenced_groups,
+    set_nested,
+)
+from tgq.models.config import ModelConfig
+from tgq.solver.factorize import (
+    FactorResult,
+    gptq_cholesky_factor,
+    sketch_factor,
+    trunc_spectral_factor,
+)
+from tgq.solver.gptq_loop import quantize_weight
+from tgq.solver.hessian import HessianAccumulator, SketchAccumulator
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class QuantizeConfig:
+    """Solver/pipeline flags — names and defaults mirror the reference CLI
+    (utils.py:31-130) so configs translate 1:1."""
+
+    mode: str = "eigh"            # eigh | gptq | svd | rtn
+    w_bits: int = 4
+    group_size: int = 128
+    sym: bool = False
+    eps: float = 1e-2
+    threshold_method: str = "mean_trimmed"
+    actorder: bool = False
+    damp_percent: float = 0.01
+    adaptive_eps: bool = False
+    sketch_ratio: float = 4.0
+    batch_size: int = 8
+    block_size: int = 256
+    kernel_backend: str = "jnp"   # in-block loop: jnp | pallas
+    precision: str = "f64"        # factorization: f64 (host) | f32 (device)
+    attn_impl: str = "auto"
+    pack: bool = True             # also collect packed INT export
+    seed: int = 42
+
+    @property
+    def spec(self) -> QuantSpec:
+        return QuantSpec(bits=self.w_bits, group_size=self.group_size, sym=self.sym)
+
+
+def get_adaptive_eps(layer_name: str, base_eps: float) -> float:
+    """ε×0.1 for the sensitive projections (reference quantize.py:17-20)."""
+    if any(x in layer_name for x in ("down_proj", "o_proj")):
+        return base_eps * 0.1
+    return base_eps
+
+
+def _group_in_features(cfg: ModelConfig, gi: int) -> int:
+    return [cfg.hidden_size, cfg.q_size, cfg.hidden_size, cfg.intermediate_size][gi]
+
+
+@partial(jax.jit, static_argnames=("cfg", "gi", "attn_impl"))
+def _group_input(lp, cfg: ModelConfig, gi: int, x, cos, sin, attn_impl="auto"):
+    """Activation feeding quantization group ``gi`` of one decoder layer."""
+    if gi == 0:
+        return attn_input(lp, cfg, x)
+    h = attn_input(lp, cfg, x)
+    attn = attn_core(lp, cfg, h, cos, sin, attn_impl=attn_impl)
+    if gi == 1:
+        return attn
+    from tgq.models.causal_lm import apply_linear
+
+    x2 = x + apply_linear(lp["self_attn"]["o_proj"], attn)
+    h2 = mlp_input(lp, cfg, x2)
+    if gi == 2:
+        return h2
+    return mlp_act(lp, cfg, h2)
+
+
+@partial(jax.jit, static_argnames=("cfg", "attn_impl"))
+def _layer_forward(lp, cfg: ModelConfig, x, cos, sin, attn_impl="auto"):
+    return decoder_layer(lp, cfg, x, cos, sin, attn_impl=attn_impl)
+
+
+def _factorize(h_or_y, qcfg: QuantizeConfig, eps: float) -> FactorResult:
+    if qcfg.mode == "eigh":
+        return trunc_spectral_factor(
+            h_or_y, eps=eps, method=qcfg.threshold_method, precision=qcfg.precision
+        )
+    if qcfg.mode == "gptq":
+        return gptq_cholesky_factor(
+            h_or_y, actorder=qcfg.actorder, damp_percent=qcfg.damp_percent
+        )
+    if qcfg.mode == "svd":
+        return sketch_factor(h_or_y, eps=eps, method=qcfg.threshold_method)
+    raise ValueError(f"no factorization for mode {qcfg.mode!r}")
+
+
+def _rtn_quantize(w: jax.Array, spec: QuantSpec):
+    p = find_params(w, spec)
+    s, z = expand_params(p, w.shape[1])
+    codes = quantize(w, s, z, spec)
+    wq = (codes - z) * s
+    return codes.astype(jnp.int32), wq, p
+
+
+def quantize_model(
+    params: Params,
+    cfg: ModelConfig,
+    input_ids: np.ndarray,
+    qcfg: QuantizeConfig,
+) -> tuple[Params, dict[str, PackedLinear], dict[str, Any]]:
+    """Quantize every decoder layer in place (layer-sequential).
+
+    params: host-resident param tree (mutated: quantized weights written
+    back as bf16 dense).  Returns (params, packed export dict keyed by
+    "layers.<i>.<path>", experiment log).
+    """
+    n_samples, seq_len = input_ids.shape
+    bs = qcfg.batch_size
+    spec = qcfg.spec
+    log: dict[str, Any] = {
+        "config": dataclasses.asdict(qcfg) | {"model": cfg.name},
+        "layer_stats": [],
+        "metrics": {},
+    }
+    packed: dict[str, PackedLinear] = {}
+    groups = sequenced_groups(cfg)
+    cos, sin = rope_cache(cfg, seq_len)
+
+    # capture initial hidden states (reference capture_initial_inputs)
+    t_start = time.time()
+    embed_w = jax.device_put(params["model"]["embed_tokens"]["weight"])
+    batches = []
+    emb = jax.jit(lambda w, ids: w[ids].astype(jnp.bfloat16))
+    for j in range(0, n_samples, bs):
+        ids = jnp.asarray(input_ids[j : j + bs])
+        batches.append(emb(embed_w, ids))
+    inps = jnp.concatenate(batches, axis=0)
+    del embed_w, batches
+    logger.info("[calib] captured %d sequences of %d tokens", n_samples, seq_len)
+
+    n_layers = len(params["model"]["layers"])
+    for li in range(n_layers):
+        layer_t0 = time.time()
+        lp = jax.device_put(params["model"]["layers"][li])
+
+        for gi, group_names in enumerate(groups):
+            logger.info("[layer %d/%d] group %d: %s",
+                        li + 1, n_layers, gi + 1, ", ".join(group_names))
+            eps = (get_adaptive_eps(group_names[0], qcfg.eps)
+                   if qcfg.adaptive_eps else qcfg.eps)
+            in_f = _group_in_features(cfg, gi)
+
+            if qcfg.mode == "rtn":
+                stats = None
+            else:
+                if qcfg.mode == "svd":
+                    acc = SketchAccumulator.init(
+                        in_f, rank=int(in_f * qcfg.sketch_ratio), seed=qcfg.seed
+                    )
+                else:
+                    acc = HessianAccumulator.init(in_f)
+                for j in range(0, n_samples, bs):
+                    a = _group_input(lp, cfg, gi, inps[j : j + bs], cos, sin,
+                                     attn_impl=qcfg.attn_impl)
+                    acc = acc.update(a)
+                h_or_y = np.asarray(acc.finalize())
+                del acc
+                t_f = time.time()
+                stats = _factorize(h_or_y, qcfg, eps)
+                logger.info("   factorized %s in %.2fs (rank %d/%d)",
+                            h_or_y.shape, time.time() - t_f, stats.rank, in_f)
+                del h_or_y
+
+            for name in group_names:
+                t_solve = time.time()
+                w = get_nested(lp, name)["w"].astype(jnp.float32)
+                if qcfg.mode == "rtn" or stats is None:
+                    codes, wq, p = _rtn_quantize(w, spec)
+                    rank, rel = w.shape[1], float("nan")
+                    scale, zero = p.scale, p.zero
+                else:
+                    res = quantize_weight(
+                        w, stats, spec, block_size=qcfg.block_size,
+                        backend=qcfg.kernel_backend,
+                    )
+                    codes, wq = res.codes, res.w_q
+                    scale, zero = res.scale, res.zero
+                    rank, rel = stats.rank, float(res.rel_error)
+                # write back dequantized weight (bf16) for the re-forward
+                old = get_nested(lp, name)
+                new_p = dict(old) if isinstance(old, dict) else {}
+                new_p["w"] = wq.astype(jnp.bfloat16)
+                set_nested(lp, name, new_p)
+                if qcfg.pack:
+                    packed[f"layers.{li}.{name}"] = PackedLinear.from_codes(
+                        codes, scale, zero, spec
+                    )
+                solve_time = time.time() - t_solve
+                logger.info("   %-22s | rank %5s | rel_err %.4f | %.2fs",
+                            name, rank, rel, solve_time)
+                log["layer_stats"].append(
+                    {"name": f"layer_{li}.{name}", "rank": int(rank),
+                     "time": solve_time, "rel_error": rel}
+                )
+
+        # re-forward through the quantized layer for the next layer's inputs
+        outs = []
+        for j in range(0, n_samples, bs):
+            outs.append(_layer_forward(lp, cfg, inps[j : j + bs], cos, sin,
+                                       attn_impl=qcfg.attn_impl))
+        inps = jnp.concatenate(outs, axis=0)
+        del outs
+
+        # persist quantized layer back to the host tree, free device copy
+        params["model"]["layers"][li] = jax.device_get(lp)
+        del lp
+        logger.info("[*] layer %d/%d done in %.2fs",
+                    li + 1, n_layers, time.time() - layer_t0)
+
+    log["metrics"]["total_time"] = time.time() - t_start
+    return params, packed, log
