@@ -1,0 +1,125 @@
+"""Pivoted-Cholesky fast-path solver tests.
+
+Cross-checks against the eigh+pivoted-QR reference machinery: identical
+pivot ordering (a mathematical identity, not an approximation), factor
+identities, equivalent truncation ranks, and end-to-end quantization
+quality parity with the eigh path.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import scipy.linalg
+
+from tgq.core.quant import QuantSpec, fake_quantize
+from tgq.solver import quantize_weight, trunc_spectral_factor, truncate_rank
+from tgq.solver.hessian import hessian_from_activations
+from tgq.solver.pchol import pchol_factor, pivoted_cholesky, trace_rank
+
+
+def make_h(rng, n, decay=0.99, rank=None):
+    if rank is None:
+        a = rng.normal(size=(4 * n, n)) * (decay ** np.arange(n))[None, :]
+    else:
+        a = rng.normal(size=(rank, n))
+    a = a.astype(np.float64)
+    return a.T @ a / a.shape[0]
+
+
+def test_pchol_reconstructs_full_rank(rng):
+    n = 96
+    h = make_h(rng, n) + 0.01 * np.eye(n)
+    lt, perm, dhist = pivoted_cholesky(h, panel=32)
+    lt = np.asarray(lt, np.float64)
+    rec = lt.T @ lt
+    err = np.linalg.norm(rec - h) / np.linalg.norm(h)
+    assert err < 1e-4, err
+    # trace decomposition: Σ d_k = tr(H)
+    np.testing.assert_allclose(np.asarray(dhist).sum(), np.trace(h), rtol=1e-4)
+    assert sorted(np.asarray(perm).tolist()) == list(range(n))
+
+
+def test_pchol_pivots_match_pivoted_qr_of_sqrt(rng):
+    """BG pivots of QR(H^1/2) == diagonal pivots of pchol(H)."""
+    n = 64
+    h = make_h(rng, n, decay=0.9) + 1e-6 * np.eye(n)
+    lam, v = scipy.linalg.eigh(h)
+    s = np.sqrt(np.clip(lam, 1e-12, None))[::-1]
+    vh = v.T[::-1]
+    _, qr_perm = scipy.linalg.qr(s[:, None] * vh, mode="r", pivoting=True)
+    _, pc_perm, _ = pivoted_cholesky(h, panel=16)
+    # compare the leading pivots (ties deep in the tail may reorder)
+    np.testing.assert_array_equal(np.asarray(pc_perm)[: n // 2], qr_perm[: n // 2])
+
+
+def test_trace_rank_equals_energy_rank_on_eigs():
+    """On an exact eigenvalue sequence the two rules agree."""
+    lam_desc = np.array([100.0, 10.0, 1.0, 0.1, 0.01, 0.001])
+    s = np.sqrt(lam_desc)
+    for eps in (1e-1, 1e-2, 1e-3, 1e-5):
+        assert trace_rank(lam_desc, eps) == truncate_rank(s, eps, "energy")
+
+
+def test_pchol_factor_full_rank_inverse(rng):
+    n = 64
+    h = make_h(rng, n) + 0.05 * np.eye(n)
+    f = pchol_factor(h, eps=1e-12)
+    assert f.rank == n
+    r = np.asarray(f.r_full).astype(np.float64)
+    h_perm = h[np.ix_(f.perm, f.perm)]
+    hinv = np.linalg.inv(h_perm)
+    err = np.linalg.norm(r.T @ r - hinv) / np.linalg.norm(hinv)
+    assert err < 1e-3, err
+    # r_x reconstructs H_perm
+    rx = np.asarray(f.r_x).astype(np.float64)
+    err_x = np.linalg.norm(rx.T @ rx - h_perm) / np.linalg.norm(h_perm)
+    assert err_x < 1e-4
+
+
+def test_pchol_factor_truncated(rng):
+    n, k = 80, 20
+    h = make_h(rng, n, rank=k) + 1e-9 * np.eye(n)
+    f = pchol_factor(h, eps=1e-7)
+    assert f.rank <= k + 2
+    r = np.asarray(f.r_full).astype(np.float64)
+    # tail rows are identity rows
+    tail = r[f.rank :]
+    expect = np.zeros_like(tail)
+    expect[np.arange(tail.shape[0]), np.arange(f.rank, n)] = 1.0
+    np.testing.assert_allclose(tail, expect, atol=1e-6)
+    # top block approximates the pseudo-inverse of the pchol approximation
+    lt = np.asarray(f.r_x).astype(np.float64)[: f.rank]
+    h_approx = lt.T @ lt  # rank-r approx of H_perm
+    r_top = r[: f.rank]
+    pinv = np.linalg.pinv(h_approx, rcond=1e-10)
+    err = np.linalg.norm(r_top.T @ r_top - pinv) / np.linalg.norm(pinv)
+    assert err < 5e-2, err
+
+
+def test_pchol_quantization_quality_matches_eigh(rng):
+    """End-to-end: pchol-mode GPTQ ≈ eigh-mode GPTQ, both beat RTN."""
+    m, n = 32, 128
+    cov = 0.92 ** np.abs(np.subtract.outer(np.arange(n), np.arange(n)))
+    x = (rng.normal(size=(8192, n)) @ np.linalg.cholesky(cov + 1e-9 * np.eye(n)).T
+         ).astype(np.float32)
+    w = rng.normal(size=(m, n)).astype(np.float32)
+    h = np.asarray(hessian_from_activations(jnp.asarray(x)))
+    spec = QuantSpec(bits=3, group_size=-1, sym=False)
+
+    f_eigh = trunc_spectral_factor(h, eps=1e-6, method="energy")
+    f_pchol = pchol_factor(h, eps=1e-6)
+    y = x @ w.T
+
+    def err(wq):
+        return np.linalg.norm(y - x @ np.asarray(wq).T) / np.linalg.norm(y)
+
+    e_eigh = err(quantize_weight(jnp.asarray(w), f_eigh, spec).w_q)
+    e_pchol = err(quantize_weight(jnp.asarray(w), f_pchol, spec).w_q)
+    e_rtn = err(fake_quantize(jnp.asarray(w), spec))
+    assert e_pchol < 0.75 * e_rtn, (e_pchol, e_rtn)
+    assert e_pchol < 1.15 * e_eigh, (e_pchol, e_eigh)
+
+
+def test_pchol_zero_hessian_safe():
+    f = pchol_factor(np.zeros((16, 16)), eps=1e-6)
+    assert np.isfinite(f.r_full).all()
+    assert f.rank >= 1

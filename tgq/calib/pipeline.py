@@ -63,7 +63,7 @@ class QuantizeConfig:
     """Solver/pipeline flags — names and defaults mirror the reference CLI
     (utils.py:31-130) so configs translate 1:1."""
 
-    mode: str = "eigh"            # eigh | gptq | svd | rtn
+    mode: str = "eigh"            # eigh | pchol | gptq | svd | rtn
     w_bits: int = 4
     group_size: int = 128
     sym: bool = False
@@ -131,6 +131,10 @@ def _factorize(h_or_y, qcfg: QuantizeConfig, eps: float) -> FactorResult:
         )
     if qcfg.mode == "svd":
         return sketch_factor(h_or_y, eps=eps, method=qcfg.threshold_method)
+    if qcfg.mode == "pchol":
+        from tgq.solver.pchol import pchol_factor
+
+        return pchol_factor(h_or_y, eps=eps)
     raise ValueError(f"no factorization for mode {qcfg.mode!r}")
 
 

@@ -81,30 +81,50 @@ def _process_block_jnp(w, s, z, r, min_q: int, max_q: int):
 
 def _quantize_permuted(w_p, s_p, z_p, r_full, spec: QuantSpec, block_size: int,
                        block_fn):
-    """Blockwise pass over the permuted weight; returns (codes, e_scaled)."""
+    """Blockwise pass over the permuted weight; returns codes (m, n).
+
+    Structured as one ``lax.scan`` over column blocks (single compiled
+    block body — compile time and HBM temp pressure stay flat in n/B):
+    the carry is the still-unquantized weight; each step runs the
+    sequential in-block kernel, then one full-width masked MXU GEMM
+    propagates the block's scaled error to all later columns.
+    """
     m, n = w_p.shape
-    codes = jnp.zeros_like(w_p)
-    w_cur = w_p
-    for i1 in range(0, n, block_size):
-        i2 = min(i1 + block_size, n)
-        w1 = w_cur[:, i1:i2]
-        s1 = s_p[:, i1:i2]
-        z1 = z_p[:, i1:i2]
-        r1 = r_full[i1:i2, i1:i2]
+    B = block_size
+    pad = (-n) % B
+    if pad:
+        w_p = jnp.pad(w_p, ((0, 0), (0, pad)))
+        s_p = jnp.pad(s_p, ((0, 0), (0, pad)), constant_values=1.0)
+        z_p = jnp.pad(z_p, ((0, 0), (0, pad)))
+        r_full = jnp.pad(r_full, ((0, pad), (0, pad)))
+        r_full = r_full.at[jnp.arange(n, n + pad), jnp.arange(n, n + pad)].set(1.0)
+    npad = n + pad
+    nb = npad // B
+    col_ids = jnp.arange(npad)
+
+    def step(w_cur, i):
+        i1 = i * B
+        w1 = jax.lax.dynamic_slice(w_cur, (0, i1), (m, B))
+        s1 = jax.lax.dynamic_slice(s_p, (0, i1), (m, B))
+        z1 = jax.lax.dynamic_slice(z_p, (0, i1), (m, B))
+        r_rows = jax.lax.dynamic_slice(r_full, (i1, 0), (B, npad))
+        r1 = jax.lax.dynamic_slice(r_rows, (0, i1), (B, B))
         q1, e1 = block_fn(w1, s1, z1, r1, spec.min_q, spec.max_q)
-        codes = codes.at[:, i1:i2].set(q1)
-        if i2 < n:
-            cross = r_full[i1:i2, i2:]
-            delta = jax.lax.dot_general(
-                e1, cross, (((1,), (0,)), ((), ())), precision=_HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-            w_cur = w_cur.at[:, i2:].add(-delta)
-    return codes
+        # propagate to strictly-later columns (full-width masked GEMM)
+        cross = jnp.where((col_ids >= i1 + B)[None, :], r_rows, 0.0)
+        delta = jax.lax.dot_general(
+            e1, cross, (((1,), (0,)), ((), ())), precision=_HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        return w_cur - delta, q1
+
+    _, codes_blocks = jax.lax.scan(step, w_p, jnp.arange(nb))
+    codes = codes_blocks.transpose(1, 0, 2).reshape(m, npad)
+    return codes[:, :n]
 
 
 @partial(jax.jit, static_argnames=("spec", "block_size", "backend"))
-def _quantize_weight_jit(w, r_full, perm, r_x, spec: QuantSpec,
+def _quantize_weight_jit(w, r_full, perm, spec: QuantSpec,
                          block_size: int, backend: str):
     m, n = w.shape
     w = w.astype(jnp.float32)
@@ -128,16 +148,20 @@ def _quantize_weight_jit(w, r_full, perm, r_x, spec: QuantSpec,
     inv_perm = jnp.argsort(perm)
     codes = codes_p[:, inv_perm].astype(jnp.int32)
     w_q = wq_p[:, inv_perm]
-
-    if r_x is not None:
-        # relative prediction error in permuted order (reference :275-291)
-        num = jnp.linalg.norm((w_p - wq_p) @ r_x.T)
-        den = jnp.linalg.norm(w_p @ r_x.T)
-        rel = num / den
-    else:
-        rel = jnp.array(jnp.nan, jnp.float32)
     return QuantizeResult(codes=codes, w_q=w_q, scale=params.scale,
-                          zero=params.zero, rel_error=rel)
+                          zero=params.zero,
+                          rel_error=jnp.array(jnp.nan, jnp.float32))
+
+
+@jax.jit
+def _rel_error_jit(w, w_q, perm, r_x):
+    """‖(W−Wq)R_xᵀ‖/‖W R_xᵀ‖ in permuted order (reference :275-291).
+    Separate jit so the r_x buffer is only live when diagnostics are on."""
+    w_p = w.astype(jnp.float32)[:, perm]
+    wq_p = w_q[:, perm]
+    num = jnp.linalg.norm((w_p - wq_p) @ r_x.T)
+    den = jnp.linalg.norm(w_p @ r_x.T)
+    return num / den
 
 
 def quantize_weight(
@@ -155,6 +179,9 @@ def quantize_weight(
     """
     r_full = jnp.asarray(factor.r_full, jnp.float32)
     perm = jnp.asarray(factor.perm, jnp.int32)
-    r_x = jnp.asarray(factor.r_x, jnp.float32) if (
-        with_error and factor.r_x is not None) else None
-    return _quantize_weight_jit(w, r_full, perm, r_x, spec, block_size, backend)
+    res = _quantize_weight_jit(w, r_full, perm, spec, block_size, backend)
+    if with_error and factor.r_x is not None:
+        rel = _rel_error_jit(w, res.w_q, perm,
+                             jnp.asarray(factor.r_x, jnp.float32))
+        res = dataclasses.replace(res, rel_error=rel)
+    return res

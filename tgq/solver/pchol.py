@@ -1,0 +1,234 @@
+"""Blocked pivoted Cholesky — the TPU-native TruncGPTQ solver fast path.
+
+The reference's solver chain (f64 eigh → truncate → Magma pivoted QR of
+Λ^½Vᵀ → QR of Λ^{-½}Vᵀ, gptq_utils.py:87-126) leans on dense
+eigendecomposition, which XLA:TPU implements iteratively (QDWH) and
+slowly (~4 s at 4096², ~2 min at 12288² in f32).  This module replaces
+the whole chain with operations TPU executes at MXU speed, using two
+identities:
+
+1. The reference's "energy" truncation keeps the smallest eigenbasis
+   prefix capturing (1-ε) of Σλ — a **trace fraction** (its ``energy``
+   variable is S² = λ).  Greedy pivoted Cholesky consumes exactly the
+   conditional variances d_k with Σd_k = tr(H), so "stop when the
+   cumulative picked trace reaches (1-ε)·tr(H)" is the same criterion on
+   the same quantity.
+2. The Businger–Golub pivots of a pivoted QR of any S with SᵀS = H are
+   *identical* to the diagonal pivots of pivoted Cholesky of H (the QR
+   residual column norms² are the Cholesky Schur-complement diagonal).
+   So the column ordering — the point of the Magma dependency — comes
+   straight out of the same factorization.
+
+The factorization below is right-looking with panel-deferred Schur
+updates: within a panel of ``panel`` steps only O(n·panel) work per step
+(row reads, one-hot column extraction, D downdating — all native VPU
+ops), then one (panel × n)ᵀ(panel × n) MXU GEMM updates the Schur
+complement.  No physical column swaps: pivoting is tracked logically and
+columns are gathered once at the end, so nothing ever indexes a dynamic
+lane.  Everything is shape-static: the loop always runs n steps; spent
+pivots have conditional variance 0 and their rows are masked to zero.
+
+From (Lt, perm, rank) the GPTQ factors follow with chol/solves/GEMMs
+only (see ``pchol_factor``): R_x = Lt in permuted order (RᵀR_x = H_perm),
+and the error-propagation factor R with RᵀR = H⁺_perm from the block
+identity H⁺ = Lp G⁻² Lpᵀ (G = LpᵀLp), P11 = L1G⁻²L1ᵀ → R1 = chol(P11),
+R12 = R1⁻ᵀ(L1G⁻²L2ᵀ).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+import numpy as np
+
+from tgq.solver.factorize import FactorResult
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(
+        a, b, (((a.ndim - 1,), (0,)), ((), ())),
+        precision=_HIGHEST, preferred_element_type=jnp.float32,
+    )
+
+
+@partial(jax.jit, static_argnames=("panel",))
+def _pivoted_cholesky_jit(h: jax.Array, panel: int = 128):
+    """Full-length greedy pivoted Cholesky.
+
+    Returns (lt, perm, d_hist):
+      lt:     (n, n) f32 — row k is the k-th Cholesky vector in ORIGINAL
+              column indexing (gather by perm to get the trapezoid).
+      perm:   (n,) int32 pivot order.
+      d_hist: (n,) f32 trace captured at each step, ‖l_k‖² — an exact
+              decomposition of tr(H), used for truncation.
+    """
+    n = h.shape[0]
+    a = h.astype(jnp.float32)
+    lt = jnp.zeros((n, n), jnp.float32)
+    perm = jnp.zeros((n,), jnp.int32)
+    dhist = jnp.zeros((n,), jnp.float32)
+    pivhist = jnp.zeros((n,), jnp.float32)
+    d = jnp.diagonal(a)
+    done = jnp.zeros((n,), bool)
+    col_ids = jnp.arange(n)
+
+    num_panels = -(-n // panel)
+    for p in range(num_panels):
+        lo, hi = p * panel, min((p + 1) * panel, n)
+        b = hi - lo
+        strip = jnp.zeros((b, n), jnp.float32)  # this panel's Lt rows
+
+        def panel_step(k, carry, lo=lo, b=b):
+            a, strip, perm, dhist, pivhist, d, done = carry
+            kk = k - lo
+            dm = jnp.where(done, -jnp.inf, d)
+            piv = jnp.argmax(dm).astype(jnp.int32)
+            dk = jnp.maximum(dm[piv], 0.0)
+            onehot = (col_ids == piv).astype(jnp.float32)
+            # row piv of the panel-deferred Schur complement:
+            #   a[piv,:] - Σ_{t<kk in panel} strip[t,piv]·strip[t,:]
+            strip_col_piv = _dot(strip, onehot)          # (b,)
+            row = a[piv, :] - _dot(strip_col_piv, strip)  # (n,)
+            inv_sqrt = jnp.where(dk > 0, jax.lax.rsqrt(jnp.maximum(dk, 1e-30)), 0.0)
+            l = row * inv_sqrt
+            l = jnp.where(done, 0.0, l)
+            l = l * (1.0 - onehot) + onehot * jnp.sqrt(jnp.maximum(dk, 0.0))
+            strip = jax.lax.dynamic_update_slice_in_dim(strip, l[None, :], kk, 0)
+            perm = perm.at[k].set(piv)
+            # trace captured by this step: tr(A) drops by ‖l‖² (the eigh
+            # analog is λ_k) — this is what trace-fraction truncation uses
+            dhist = dhist.at[k].set(jnp.sum(l * l))
+            pivhist = pivhist.at[k].set(dk)
+            done = done | (col_ids == piv)
+            d = jnp.where(done, 0.0, jnp.maximum(d - l * l, 0.0))
+            return a, strip, perm, dhist, pivhist, d, done
+
+        a, strip, perm, dhist, pivhist, d, done = jax.lax.fori_loop(
+            lo, hi, panel_step, (a, strip, perm, dhist, pivhist, d, done)
+        )
+        # fold the finished panel into the Schur complement (one MXU GEMM)
+        a = a - _dot(strip.T, strip)
+        lt = jax.lax.dynamic_update_slice_in_dim(lt, strip, lo, 0)
+    return lt, perm, dhist, pivhist
+
+
+def pivoted_cholesky(h, panel: int = 128):
+    """Host-friendly wrapper; see _pivoted_cholesky_jit.  Returns
+    (lt, perm, trace_hist) — use pchol_factor for the full solver."""
+    lt, perm, dhist, _ = _pivoted_cholesky_jit(jnp.asarray(h), panel=panel)
+    return lt, perm, dhist
+
+
+def trace_rank(d_hist: np.ndarray, eps: float) -> int:
+    """Smallest prefix capturing (1-eps) of the trace (the reference's
+    "energy" rule applied to the pivoted-Cholesky trace decomposition)."""
+    d = np.asarray(d_hist, np.float64)
+    total = d.sum()
+    if total <= 0:
+        return 1
+    rank = int((np.cumsum(d) <= (1.0 - eps) * total).sum())
+    if rank < len(d):
+        rank += 1
+    return max(1, min(rank, int((d > 0).sum()) or 1))
+
+
+# The factor build runs as a chain of small donated jits rather than one
+# fused jit: at n=12288 the fused version asks XLA for >12 GB of HLO
+# temps (triangular-solve blocking temps on top of six 600 MB buffers)
+# and OOMs a 16 GB v5e.  Sequenced, peak residency stays ~2.5 GB.
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _pf_gather(lt, perm, rank):
+    mask_r = (jnp.arange(lt.shape[0]) < rank).astype(lt.dtype)
+    a = lt[:, perm] * mask_r[:, None]       # (n, n), rows >= rank zeroed
+    return a, mask_r
+
+
+@jax.jit
+def _pf_gram_chol(a, mask_r):
+    tail = jnp.diag(1.0 - mask_r)
+    g = _dot(a, a.T) + tail                 # [[LpᵀLp, 0], [0, I]]
+    return jsl.cholesky(g, lower=True)
+
+
+@jax.jit
+def _pf_solve_chunk(cg, a_chunk):
+    return jsl.cho_solve((cg, True), a_chunk)
+
+
+def _pf_solve(cg, a, chunk: int = 4096):
+    """K = G⁻¹A, solved in column chunks — XLA's TPU triangular_solve
+    allocates temp tiles proportional to the RHS width, and a full-width
+    12288² RHS overflows HBM temps on a 16 GB chip."""
+    n = a.shape[1]
+    if n <= chunk:
+        return _pf_solve_chunk(cg, a)
+    outs = [_pf_solve_chunk(cg, a[:, j : j + chunk]) for j in range(0, n, chunk)]
+    return jnp.concatenate(outs, axis=1)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _pf_pinv_chol(k, mask_r):
+    p = _dot(k.T, k)                        # H⁺_perm, exactly rank r
+    r_full = jsl.cholesky(p + jnp.diag(1.0 - mask_r), lower=False)
+    return jnp.triu(r_full)
+
+
+def _pchol_factors_jit(lt: jax.Array, perm: jax.Array, rank: jax.Array):
+    """From Lt (original indexing) + traced rank build (r_full, r_x)
+    entirely on-device, shape-static in everything including the rank.
+
+    With A := rows<rank of lt[:, perm]  (Lpᵀ zero-padded to n×n) and
+    G := AAᵀ + I_tail, K := G⁻¹A has KᵀK = H⁺_perm =: P *exactly* rank r
+    with invertible P11, so its tail Schur complement is zero and
+
+        chol_upper(P + I_tail) = [[R1, R12], [0, I]]
+
+    — precisely the full-width triangular factor the quantization loop
+    wants (identity tail rows ⇒ RTN tail, cross-block preserved).
+    """
+    a, mask_r = _pf_gather(lt, perm, rank)
+    cg = _pf_gram_chol(a, mask_r)
+    k = _pf_solve(cg, a)
+    del cg
+    r_full = _pf_pinv_chol(k, mask_r)
+    return r_full, a
+
+
+def pchol_factor(
+    h, eps: float = 1e-6, panel: int = 128, pivot_rtol: float = 1e-6
+) -> FactorResult:
+    """TruncGPTQ factorization via pivoted Cholesky (TPU fast path).
+
+    Same FactorResult contract as trunc_spectral_factor: full (n, n)
+    upper-triangular r_full with identity tail rows, pivot-order perm,
+    r_x with R_xᵀR_x ≈ H_perm for diagnostics.
+
+    ``pivot_rtol``: numerical-rank guard — pivots below rtol × the first
+    pivot are unresolvable in f32 (LAPACK pstrf-style breakdown stop);
+    columns beyond that degrade to RTN regardless of ``eps``.
+    """
+    h = jnp.asarray(h)
+    n = h.shape[0]
+    lt, perm, dhist, pivhist = _pivoted_cholesky_jit(h, panel=panel)
+    pivhist = np.asarray(pivhist, np.float64)
+    if pivhist[0] <= 0.0:
+        # degenerate Hessian (all-zero trace): identity fallback — every
+        # column quantizes RTN (mirrors the reference's identity fallback,
+        # gptq_utils.py:162-164)
+        return FactorResult(
+            r_full=np.eye(n, dtype=np.float32),
+            perm=np.arange(n, dtype=np.int64),
+            rank=1,
+            r_x=np.zeros((n, n), np.float32),
+        )
+    num_rank = int((pivhist > pivot_rtol * pivhist[0]).sum())
+    rank = min(trace_rank(np.asarray(dhist), eps), max(num_rank, 1))
+    # factor build stays on device; rank is traced (one compile per width)
+    r_full, r_x = _pchol_factors_jit(lt, perm, jnp.int32(rank))
+    return FactorResult(r_full=r_full, perm=perm, rank=rank, r_x=r_x)
