@@ -1,0 +1,123 @@
+"""Headline benchmark: one full Qwen3-8B decoder layer quantized
+end-to-end (TruncGPTQ) on the attached TPU, vs the reference's A100.
+
+Measures the real pipeline path per layer — the four sequential
+layer-groups exactly as in calibration: group-input forwards over the
+full 128×2048-token calibration set, on-device Hessian accumulation,
+TruncGPTQ factorization (pivoted-Cholesky fast path), blockwise
+quantization of all 7 projections, and the quantized re-forward.
+
+Baseline: the reference's published Trunc_W4_Asym run is 1534.3 s for 36
+layers on one A100-40G with the same calibration set → 42.6 s/layer
+(BASELINE.md; benchmark_results/Trunc_W4_Asym/results.json, and its
+quantization.log shows layer 1 at 44 s wall).
+
+Prints ONE JSON line:
+  {"metric": "qwen3_8b_layer_quantize_seconds", "value": <s>,
+   "unit": "s", "vs_baseline": <42.6 / value>}  (>1 = faster than ref)
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n_samples", type=int, default=128)
+    ap.add_argument("--seq_len", type=int, default=2048)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--mode", type=str, default="pchol")
+    ap.add_argument("--w_bits", type=int, default=4)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    from tgq.calib.pipeline import (
+        QuantizeConfig,
+        _factorize,
+        _group_input,
+        _layer_forward,
+        get_adaptive_eps,
+    )
+    from tgq.models import PRESETS, init_params, rope_cache
+    from tgq.models.causal_lm import get_nested, sequenced_groups, set_nested
+    from tgq.solver.gptq_loop import quantize_weight
+    from tgq.solver.hessian import HessianAccumulator
+
+    cfg = PRESETS["qwen3-8b"]
+    qcfg = QuantizeConfig(mode=args.mode, w_bits=args.w_bits, group_size=128,
+                          batch_size=args.batch_size, eps=1e-6,
+                          threshold_method="energy", log_rel_error=False)
+    on_tpu = jax.default_backend() == "tpu"
+    attn_impl = "flash" if on_tpu else "naive"
+
+    # one random decoder layer + calibration activations at real shapes
+    key = jax.random.key(0)
+    params = init_params(
+        type(cfg)(**{**cfg.__dict__, "num_layers": 1}), key
+    )
+    lp = params["model"]["layers"][0]
+    n, s, bs = args.n_samples, args.seq_len, args.batch_size
+    inps = (jax.random.normal(jax.random.key(1), (n, s, cfg.hidden_size),
+                              jnp.float32) * 0.5).astype(jnp.bfloat16)
+    cos, sin = rope_cache(cfg, s)
+    groups = sequenced_groups(cfg)
+    spec = qcfg.spec
+
+    def run_layer(lp):
+        """The per-layer quantization flow (mirrors tgq.calib.pipeline)."""
+        t0 = time.time()
+        from tgq.calib.pipeline import _group_in_features
+
+        for gi, group_names in enumerate(groups):
+            in_f = _group_in_features(cfg, gi)
+            acc = HessianAccumulator.init(in_f)
+            for j in range(0, n, bs):
+                a = _group_input(lp, cfg, gi, inps[j : j + bs], cos, sin,
+                                 attn_impl=attn_impl)
+                acc = acc.update(a)
+            h = acc.finalize()
+            del acc
+            stats = _factorize(h, qcfg, qcfg.eps)
+            del h
+            for name in group_names:
+                w = get_nested(lp, name)["w"].astype(jnp.float32)
+                res = quantize_weight(w, stats, spec,
+                                      block_size=qcfg.block_size,
+                                      backend=qcfg.kernel_backend,
+                                      with_error=False)
+                set_nested(lp, name, {"w": res.w_q.astype(jnp.bfloat16)})
+            del stats
+        outs = [
+            _layer_forward(lp, cfg, inps[j : j + bs], cos, sin,
+                           attn_impl=attn_impl)
+            for j in range(0, n, bs)
+        ]
+        jax.block_until_ready(outs)
+        # force real completion through the transfer path (remote tunnels
+        # can report ready before execution finishes)
+        _ = np.asarray(outs[-1][:1, :1, :8])
+        return time.time() - t0
+
+    lp_dev = jax.device_put(lp)
+    print(f"[bench] warm-up (compiles)...", file=sys.stderr)
+    run_layer(jax.device_put(lp))          # warm-up, discarded
+    t = run_layer(lp_dev)
+
+    baseline_s = 1534.3 / 36.0
+    print(json.dumps({
+        "metric": "qwen3_8b_layer_quantize_seconds",
+        "value": round(t, 2),
+        "unit": "s",
+        "vs_baseline": round(baseline_s / t, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

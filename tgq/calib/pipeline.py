@@ -79,6 +79,7 @@ class QuantizeConfig:
     precision: str = "f64"        # factorization: f64 (host) | f32 (device)
     attn_impl: str = "auto"
     pack: bool = True             # also collect packed INT export
+    log_rel_error: bool = True    # per-module rel-prediction-error metric
     seed: int = 42
 
     @property
@@ -134,7 +135,7 @@ def _factorize(h_or_y, qcfg: QuantizeConfig, eps: float) -> FactorResult:
     if qcfg.mode == "pchol":
         from tgq.solver.pchol import pchol_factor
 
-        return pchol_factor(h_or_y, eps=eps)
+        return pchol_factor(h_or_y, eps=eps, want_rx=qcfg.log_rel_error)
     raise ValueError(f"no factorization for mode {qcfg.mode!r}")
 
 
@@ -144,6 +145,57 @@ def _rtn_quantize(w: jax.Array, spec: QuantSpec):
     codes = quantize(w, s, z, spec)
     wq = (codes - z) * s
     return codes.astype(jnp.int32), wq, p
+
+
+def spectral_consistency_check(
+    params: Params,
+    cfg: ModelConfig,
+    input_ids: np.ndarray,
+    qcfg: QuantizeConfig,
+    max_layers: int = 1,
+) -> list[dict]:
+    """Reference mode "test" (quantize.py:186-199): per layer-group,
+    compare sqrt(λ_max(H)) against the sketch's top singular value — a
+    consistency check that the randomized sketch estimates the Hessian
+    spectrum.  Returns one record per group checked."""
+    n_samples, seq_len = input_ids.shape
+    bs = qcfg.batch_size
+    cos, sin = rope_cache(cfg, seq_len)
+    groups = sequenced_groups(cfg)
+    emb = jax.jit(lambda w, ids: w[ids].astype(jnp.bfloat16))
+    embed_w = jax.device_put(params["model"]["embed_tokens"]["weight"])
+    inps = jnp.concatenate([
+        emb(embed_w, jnp.asarray(input_ids[j : j + bs]))
+        for j in range(0, n_samples, bs)
+    ])
+    records = []
+    for li in range(min(max_layers, len(params["model"]["layers"]))):
+        lp = jax.device_put(params["model"]["layers"][li])
+        for gi, group_names in enumerate(groups):
+            in_f = _group_in_features(cfg, gi)
+            acc_h = HessianAccumulator.init(in_f)
+            acc_s = SketchAccumulator.init(
+                in_f, rank=int(in_f * qcfg.sketch_ratio), seed=qcfg.seed
+            )
+            for j in range(0, n_samples, bs):
+                a = _group_input(lp, cfg, gi, inps[j : j + bs], cos, sin,
+                                 attn_impl=qcfg.attn_impl)
+                acc_h = acc_h.update(a)
+                acc_s = acc_s.update(a)
+            h = np.asarray(acc_h.finalize(), np.float64)
+            y = np.asarray(acc_s.finalize(), np.float64)
+            h_max_sqrt = float(np.sqrt(max(np.linalg.eigvalsh(h)[-1], 0.0)))
+            y_max_sv = float(np.linalg.svd(y, compute_uv=False)[0])
+            rec = {
+                "name": f"layer_{li}.{group_names[0]}",
+                "sqrt_max_eig_H": h_max_sqrt,
+                "max_sv_Y": y_max_sv,
+                "ratio": h_max_sqrt / y_max_sv if y_max_sv else float("inf"),
+            }
+            logger.info("spectral check %s: sqrt(λmax)=%.4f max_sv=%.4f ratio=%.4f",
+                        rec["name"], h_max_sqrt, y_max_sv, rec["ratio"])
+            records.append(rec)
+    return records
 
 
 def quantize_model(

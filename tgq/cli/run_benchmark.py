@@ -1,0 +1,116 @@
+"""Published-table benchmark runner (reference run_benchmark.py).
+
+Runs the same 11 experiments — FP baseline; GPTQ W4/3/2 asym + W4/3 sym;
+TruncGPTQ W4/3/2 asym (per-bit ε from the published table,
+run_benchmark.py:51-77) and W4/3 sym — and writes results_partial.csv /
+final_benchmark.csv with the reference's row schema.
+
+In-process rather than subprocess-per-experiment: a JAX process has no
+CUDA-context rot to isolate, and keeping one process preserves the
+compilation cache across experiments (each experiment still runs under a
+fresh results dir + fresh model instance).  --solver pchol swaps the
+TruncGPTQ rows onto the TPU-native fast path.
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import logging
+import os
+import time
+
+
+def experiment_list(trunc_mode: str) -> list[dict]:
+    exps: list[dict] = [{"name": "FP16_Baseline", "mode": "baseline"}]
+    for bits, sym in ((4, False), (3, False), (2, False), (4, True), (3, True)):
+        exps.append({
+            "name": f"GPTQ_W{bits}_{'Sym' if sym else 'Asym'}",
+            "mode": "gptq", "w_bits": bits, "sym": sym, "actorder": True,
+        })
+    # per-bit eps from the published table (reference run_benchmark.py:51-77)
+    trunc_eps = {(4, False): 1e-6, (3, False): 1e-4, (2, False): 1e-5,
+                 (4, True): 1e-4, (3, True): 1e-4}
+    for (bits, sym), eps in trunc_eps.items():
+        exps.append({
+            "name": f"Trunc_W{bits}_{'Sym' if sym else 'Asym'}",
+            "mode": trunc_mode, "w_bits": bits, "sym": sym, "eps": eps,
+            "threshold_method": "energy",
+        })
+    return exps
+
+
+def run_experiment(exp: dict, base_args: list[str], out_root: str) -> dict:
+    from tgq.cli.quantize import main as quantize_main
+
+    save = os.path.join(out_root, exp["name"])
+    argv = list(base_args) + ["--save_path", save, "--mode", exp["mode"]]
+    for flag in ("w_bits", "eps", "threshold_method"):
+        if flag in exp:
+            argv += [f"--{flag}", str(exp[flag])]
+    if exp.get("sym"):
+        argv.append("--sym")
+    if exp.get("actorder"):
+        argv.append("--actorder")
+
+    t0 = time.time()
+    row = {"name": exp["name"], "status": "OK", "ppl": None,
+           "time_s": None, "config": exp}
+    try:
+        quantize_main(argv)
+        with open(os.path.join(save, "results.json")) as f:
+            res = json.load(f)
+        m = res.get("metrics", {})
+        row["ppl"] = m.get("quantized_ppl", m.get("baseline_ppl"))
+        row["time_s"] = round(m.get("total_time", time.time() - t0), 1)
+    except Exception as e:  # a failed experiment must not stop the sweep
+        logging.exception("experiment %s failed", exp["name"])
+        row["status"] = f"Failed: {e}"
+    return row
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model_id", default="qwen3-8b")
+    ap.add_argument("--dataset", default="wikitext2")
+    ap.add_argument("--n_samples", type=int, default=128)
+    ap.add_argument("--seq_len", type=int, default=2048)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--group_size", type=int, default=128)
+    ap.add_argument("--solver", default="eigh", choices=["eigh", "pchol"],
+                    help="solver for the TruncGPTQ rows")
+    ap.add_argument("--out", default="benchmark_results")
+    ap.add_argument("--attn_impl", default="auto")
+    ap.add_argument("--only", default=None, help="comma-list of experiment names")
+    args = ap.parse_args(argv)
+
+    base = ["--model_id", args.model_id, "--dataset", args.dataset,
+            "--n_samples", str(args.n_samples), "--seq_len", str(args.seq_len),
+            "--batch_size", str(args.batch_size), "--group_size",
+            str(args.group_size), "--attn_impl", args.attn_impl, "--no_save"]
+
+    os.makedirs(args.out, exist_ok=True)
+    exps = experiment_list(args.solver)
+    if args.only:
+        keep = set(args.only.split(","))
+        exps = [e for e in exps if e["name"] in keep]
+
+    rows = []
+    fields = ["name", "status", "ppl", "time_s"]
+    for exp in exps:
+        row = run_experiment(exp, base, args.out)
+        rows.append(row)
+        with open(os.path.join(args.out, "results_partial.csv"), "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=fields, extrasaction="ignore")
+            w.writeheader()
+            w.writerows(rows)
+    with open(os.path.join(args.out, "final_benchmark.csv"), "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=fields, extrasaction="ignore")
+        w.writeheader()
+        w.writerows(rows)
+    print(json.dumps(rows, indent=2, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    main()

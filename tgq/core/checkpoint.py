@@ -1,0 +1,138 @@
+"""Packed-INT checkpoint format (save/load/restore-for-serving).
+
+The reference saves *dequantized fp16* via HF save_pretrained and leaves
+packed storage as a roadmap item (reference quantize.py:262-272,
+README.md:133).  Here the packed format is the checkpoint: integer codes
+at exactly b bits/weight plus per-group scales/zeros, alongside the
+not-quantized params (embeddings, norms), in a single .npz (plus a JSON
+sidecar for configs).  An INT4 Qwen3-8B checkpoint is ~4.7 GB vs 16 GB
+fp16.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+from tgq.core.packing import PackedLinear
+from tgq.models.config import ModelConfig
+
+
+def _flatten(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}." if prefix or True else k))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}."))
+    elif isinstance(tree, PackedLinear):
+        out[f"{prefix}codes"] = np.asarray(tree.codes)
+        out[f"{prefix}scale"] = np.asarray(tree.scale)
+        out[f"{prefix}zero"] = np.asarray(tree.zero)
+        out[f"{prefix}__packed__"] = np.asarray(
+            [tree.bits, tree.group_size, tree.in_features, tree.out_features]
+        )
+    else:
+        out[prefix.rstrip(".")] = np.asarray(tree)
+    return out
+
+
+def save_quantized(
+    path: str,
+    params: Any,
+    packed: dict[str, PackedLinear],
+    cfg: ModelConfig,
+    qconfig: dict | None = None,
+) -> None:
+    """Write a packed checkpoint directory: weights.npz + config.json.
+
+    ``params`` supplies the non-quantized leaves (embed, norms, and any
+    linear without a packed entry); packed entries override the dense
+    weights of their layer paths.
+    """
+    os.makedirs(path, exist_ok=True)
+    flat = {}
+    # non-quantized parts of the tree (skip dense weights that are packed)
+    dense = _flatten(params)
+    packed_prefixes = {f"model.{k}" for k in packed}
+    for name, arr in dense.items():
+        if any(name.startswith(p + ".") for p in packed_prefixes):
+            continue
+        if arr.dtype == jax.numpy.bfloat16:
+            flat[f"__bf16__{name}"] = arr.view(np.uint16)
+        else:
+            flat[name] = arr
+    for key, pl in packed.items():
+        flat.update(_flatten(pl, f"model.{key}."))
+    np.savez(os.path.join(path, "weights.npz"), **flat)
+    meta = {"model_config": dataclasses.asdict(cfg), "quant_config": qconfig or {}}
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+def load_quantized(path: str):
+    """Load a packed checkpoint → (params tree with PackedLinear leaves,
+    ModelConfig, quant_config dict)."""
+    with open(os.path.join(path, "config.json")) as f:
+        meta = json.load(f)
+    cfg = ModelConfig(**meta["model_config"])
+    data = dict(np.load(os.path.join(path, "weights.npz")))
+
+    # regroup packed tensors
+    packed_groups: dict[str, dict[str, np.ndarray]] = {}
+    plain: dict[str, np.ndarray] = {}
+    for name, arr in data.items():
+        if name.startswith("__bf16__"):
+            import ml_dtypes
+
+            plain[name[len("__bf16__"):]] = arr.view(ml_dtypes.bfloat16)
+            continue
+        base, leaf = name.rsplit(".", 1)
+        if leaf in ("codes", "scale", "zero", "__packed__"):
+            packed_groups.setdefault(base, {})[leaf] = arr
+        else:
+            plain[name] = arr
+
+    tree: dict = {}
+
+    def insert(tree, dotted, value):
+        parts = dotted.split(".")
+        cur = tree
+        for i, p in enumerate(parts[:-1]):
+            nxt = parts[i + 1]
+            if p.isdigit():
+                p = int(p)
+            if isinstance(cur, list):
+                while len(cur) <= p:
+                    cur.append({})
+                if not cur[p]:
+                    cur[p] = [] if nxt.isdigit() else {}
+                cur = cur[p]
+            else:
+                if p not in cur or not cur[p]:
+                    cur[p] = [] if nxt.isdigit() else {}
+                cur = cur[p]
+        last = parts[-1]
+        last = int(last) if last.isdigit() else last
+        if isinstance(cur, list):
+            while len(cur) <= last:
+                cur.append(None)
+            cur[last] = value
+        else:
+            cur[last] = value
+
+    for name, arr in plain.items():
+        insert(tree, name, arr)
+    for base, parts in packed_groups.items():
+        bits, gs, in_f, out_f = (int(x) for x in parts["__packed__"])
+        pl = PackedLinear(
+            codes=parts["codes"], scale=parts["scale"], zero=parts["zero"],
+            bits=bits, group_size=gs, in_features=in_f, out_features=out_f,
+        )
+        insert(tree, base, pl)
+    return tree, cfg, meta.get("quant_config", {})

@@ -1,0 +1,138 @@
+"""HF checkpoint import: safetensors → tgq param tree (no torch).
+
+The reference loads models through ``transformers`` + CUDA
+(model_utils.py:23-51); here checkpoints are read straight from
+safetensors shards into the JAX param tree (the tree layout intentionally
+mirrors HF names, so import is a mechanical rename: ``*.weight`` → ``w``).
+Works fully offline from a local directory.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Optional
+
+import numpy as np
+
+from tgq.models.config import ModelConfig, PRESETS
+
+logger = logging.getLogger(__name__)
+
+
+def config_from_hf(hf_cfg: dict) -> ModelConfig:
+    model_type = hf_cfg.get("model_type", "")
+    qk_norm = model_type == "qwen3"
+    head_dim = hf_cfg.get("head_dim") or (
+        hf_cfg["hidden_size"] // hf_cfg["num_attention_heads"]
+    )
+    return ModelConfig(
+        name=hf_cfg.get("_name_or_path", model_type) or model_type,
+        vocab_size=hf_cfg["vocab_size"],
+        hidden_size=hf_cfg["hidden_size"],
+        intermediate_size=hf_cfg["intermediate_size"],
+        num_layers=hf_cfg["num_hidden_layers"],
+        num_heads=hf_cfg["num_attention_heads"],
+        num_kv_heads=hf_cfg.get("num_key_value_heads",
+                                hf_cfg["num_attention_heads"]),
+        head_dim=head_dim,
+        rope_theta=hf_cfg.get("rope_theta", 1e4),
+        rms_norm_eps=hf_cfg.get("rms_norm_eps", 1e-6),
+        qk_norm=qk_norm,
+        attention_bias=hf_cfg.get("attention_bias", model_type == "qwen2"),
+        tie_word_embeddings=hf_cfg.get("tie_word_embeddings", False),
+        max_position_embeddings=hf_cfg.get("max_position_embeddings", 40960),
+    )
+
+
+def _iter_safetensor_shards(path: str):
+    from safetensors import safe_open
+
+    index_path = os.path.join(path, "model.safetensors.index.json")
+    if os.path.exists(index_path):
+        with open(index_path) as f:
+            index = json.load(f)
+        shards = sorted(set(index["weight_map"].values()))
+    else:
+        shards = [f for f in os.listdir(path) if f.endswith(".safetensors")]
+    for shard in shards:
+        with safe_open(os.path.join(path, shard), framework="np") as f:
+            for key in f.keys():
+                yield key, f.get_tensor(key)
+
+
+def load_hf_checkpoint(path: str, dtype=None):
+    """(params, ModelConfig) from a local HF checkpoint directory."""
+    import ml_dtypes
+
+    with open(os.path.join(path, "config.json")) as f:
+        cfg = config_from_hf(json.load(f))
+    if dtype is None:
+        dtype = ml_dtypes.bfloat16
+
+    layers: list[dict] = [dict() for _ in range(cfg.num_layers)]
+    params: dict = {"model": {"layers": layers}}
+
+    def put(dotted: str, arr: np.ndarray):
+        parts = dotted.split(".")
+        cur: dict = params
+        for i, part in enumerate(parts[:-1]):
+            if part.isdigit():
+                cur = cur[int(part)]
+            else:
+                cur = cur.setdefault(part, {})
+        cur[parts[-1]] = arr
+
+    n_tensors = 0
+    for key, tensor in _iter_safetensor_shards(path):
+        arr = np.asarray(tensor)
+        if arr.dtype.kind == "f":
+            arr = arr.astype(dtype)
+        parts = key.split(".")
+        is_proj = len(parts) >= 2 and (
+            parts[-2].endswith("_proj") or key == "lm_head.weight"
+        )
+        if is_proj and parts[-1] == "weight":
+            put(key.rsplit(".", 1)[0] + ".w", arr)
+        elif is_proj and parts[-1] == "bias":
+            put(key.rsplit(".", 1)[0] + ".b", arr)
+        else:
+            put(key, arr)
+        n_tensors += 1
+    logger.info("[hf] imported %d tensors from %s", n_tensors, path)
+    if cfg.tie_word_embeddings:
+        params.pop("lm_head", None)
+    return params, cfg
+
+
+def resolve_model(model_id: str, seed: int = 0):
+    """Model resolution: tgq preset (random init) | local HF dir | HF hub id
+    (requires local HF cache — this container has no network)."""
+    import jax
+
+    from tgq.models.causal_lm import init_params
+
+    if model_id in PRESETS:
+        cfg = PRESETS[model_id]
+        logger.info("[model] preset %s (random init)", model_id)
+        return init_params(cfg, jax.random.key(seed)), cfg, None
+
+    if os.path.isdir(model_id):
+        params, cfg = load_hf_checkpoint(model_id)
+        tokenizer = None
+        try:
+            from transformers import AutoTokenizer
+
+            tokenizer = AutoTokenizer.from_pretrained(model_id)
+        except Exception:
+            logger.warning("[model] no tokenizer loadable from %s", model_id)
+        return params, cfg, tokenizer
+
+    # HF hub id — only resolvable from local caches
+    from transformers import AutoTokenizer
+    from huggingface_hub import snapshot_download
+
+    local = snapshot_download(model_id, local_files_only=True)
+    params, cfg = load_hf_checkpoint(local)
+    tokenizer = AutoTokenizer.from_pretrained(model_id, local_files_only=True)
+    return params, cfg, tokenizer

@@ -1,0 +1,125 @@
+"""Device mesh construction and tensor-parallel sharding rules.
+
+The reference has **zero** distributed code (SURVEY.md §2.5); this layer
+is new, built the TPU way: one global ``jax.sharding.Mesh`` with axes
+``("data", "model")``, Megatron-style TP expressed as ``PartitionSpec``s
+on the parameter tree, and XLA/GSPMD inserting the collectives (a single
+psum per block boundary, riding ICI).  Multi-host extends the same mesh
+via ``jax.distributed.initialize`` — no NCCL/MPI analog exists or is
+needed; the XLA runtime owns transport.
+
+TP layout (per decoder layer):
+- q/k/v_proj, gate/up_proj: column-sharded (out-dim) → P("model", None)
+- o_proj, down_proj:        row-sharded (in-dim)   → P(None, "model")
+- norms replicated; embed/lm_head vocab-sharded on "model".
+
+Data parallelism: batch dim of activations on "data"; the per-layer-group
+Hessian is a Gram matrix, so DP accumulation is one exact psum
+(``dp_hessian_gram``).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tgq.core.packing import PackedLinear
+from tgq.models.config import ModelConfig
+
+
+def make_mesh(data: int = 1, model: Optional[int] = None,
+              devices=None) -> Mesh:
+    """Global 2-axis mesh.  ``model`` defaults to (n_devices / data)."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if model is None:
+        assert n % data == 0, (n, data)
+        model = n // data
+    assert data * model == n, (data, model, n)
+    dev_mesh = mesh_utils.create_device_mesh((data, model), devices=np.asarray(devices))
+    return Mesh(dev_mesh, ("data", "model"))
+
+
+# --------------------------------------------------------- sharding rules
+
+_COL_SHARDED = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
+_ROW_SHARDED = ("o_proj", "down_proj")
+
+
+def _linear_spec(name: str, for_bias: bool = False) -> P:
+    if name in _COL_SHARDED:
+        return P("model") if for_bias else P("model", None)
+    if name in _ROW_SHARDED:
+        return P() if for_bias else P(None, "model")
+    return P()
+
+
+def _spec_for_path(path: tuple) -> P:
+    """PartitionSpec for one leaf, keyed by its param-tree path."""
+    keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
+    keys = [k for k in keys if k is not None]
+    if "embed_tokens" in keys:
+        return P("model", None)          # vocab-sharded
+    if "lm_head" in keys:
+        return P("model", None)
+    for i, k in enumerate(keys):
+        if k.endswith("_proj"):
+            is_bias = keys[-1] == "b"
+            # PackedLinear leaves: codes/scale/zero all shard like w
+            return _linear_spec(k, for_bias=is_bias)
+    return P()  # norms and everything else replicated
+
+
+def param_sharding_rules(params) -> dict:
+    """Pytree of PartitionSpec congruent with the param tree."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _spec_for_path(path), params
+    )
+
+
+def shard_params(params, mesh: Mesh):
+    """Place a (host) param tree onto the mesh with TP sharding."""
+    specs = param_sharding_rules(params)
+    return jax.tree.map(
+        lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
+        params, specs,
+    )
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-dim data parallelism for (batch, seq[, ...]) arrays."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# ------------------------------------------------- data-parallel Hessian
+
+
+def dp_hessian_gram(x: jax.Array, mesh: Mesh) -> jax.Array:
+    """Exact data-parallel Gram accumulation: every shard computes its
+    local XᵀX on the MXU, one psum over "data" combines them (Gram
+    matrices are additive over samples — no approximation)."""
+    in_spec = P("data", None)
+    x2 = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(in_spec,), out_specs=P(),
+    )
+    def local_gram(xs):
+        g = jax.lax.dot_general(
+            xs, xs, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        return jax.lax.psum(g, "data")
+
+    return local_gram(x2)

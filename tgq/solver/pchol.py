@@ -173,13 +173,17 @@ def _pf_solve(cg, a, chunk: int = 4096):
 
 
 @partial(jax.jit, donate_argnums=(0,))
-def _pf_pinv_chol(k, mask_r):
-    p = _dot(k.T, k)                        # H⁺_perm, exactly rank r
-    r_full = jsl.cholesky(p + jnp.diag(1.0 - mask_r), lower=False)
-    return jnp.triu(r_full)
+def _pf_gram2(k, mask_r):
+    return _dot(k.T, k) + jnp.diag(1.0 - mask_r)  # H⁺_perm + I_tail
 
 
-def _pchol_factors_jit(lt: jax.Array, perm: jax.Array, rank: jax.Array):
+@partial(jax.jit, donate_argnums=(0,))
+def _pf_cholu(p):
+    return jnp.triu(jsl.cholesky(p, lower=False))
+
+
+def _pchol_factors_jit(lt: jax.Array, perm: jax.Array, rank: jax.Array,
+                       want_rx: bool = True):
     """From Lt (original indexing) + traced rank build (r_full, r_x)
     entirely on-device, shape-static in everything including the rank.
 
@@ -196,12 +200,17 @@ def _pchol_factors_jit(lt: jax.Array, perm: jax.Array, rank: jax.Array):
     cg = _pf_gram_chol(a, mask_r)
     k = _pf_solve(cg, a)
     del cg
-    r_full = _pf_pinv_chol(k, mask_r)
+    if not want_rx:
+        del a
+        a = None
+    p = _pf_gram2(k, mask_r)
+    r_full = _pf_cholu(p)
     return r_full, a
 
 
 def pchol_factor(
-    h, eps: float = 1e-6, panel: int = 128, pivot_rtol: float = 1e-6
+    h, eps: float = 1e-6, panel: int = 128, pivot_rtol: float = 1e-6,
+    want_rx: bool = True,
 ) -> FactorResult:
     """TruncGPTQ factorization via pivoted Cholesky (TPU fast path).
 
@@ -230,5 +239,6 @@ def pchol_factor(
     num_rank = int((pivhist > pivot_rtol * pivhist[0]).sum())
     rank = min(trace_rank(np.asarray(dhist), eps), max(num_rank, 1))
     # factor build stays on device; rank is traced (one compile per width)
-    r_full, r_x = _pchol_factors_jit(lt, perm, jnp.int32(rank))
+    r_full, r_x = _pchol_factors_jit(lt, perm, jnp.int32(rank),
+                                     want_rx=want_rx)
     return FactorResult(r_full=r_full, perm=perm, rank=rank, r_x=r_x)
