@@ -81,30 +81,50 @@ def _bitplane_unpack(planes: jax.Array, bits: int) -> jax.Array:
     return jnp.concatenate(chunks, axis=-1)
 
 
-def pack_rows(codes: jax.Array, bits: int) -> jax.Array:
-    """Pack non-negative integer codes (any leading shape, last axis = in)."""
+def pack_rows(codes: jax.Array, bits: int, group_size: int | None = None) -> jax.Array:
+    """Pack non-negative integer codes along the last axis.
+
+    With ``group_size`` set (the quantization group), packing is applied
+    *within each group* (split-half/quarter or bit-planes per group), so
+    group-aligned column windows of the packed array are self-contained.
+    """
+    *lead, n = codes.shape
+    g = group_size if (group_size and 0 < group_size < n and n % group_size == 0) else n
+    cg = codes.reshape(*lead, n // g, g)
     if bits == 8:
-        return codes.astype(jnp.uint8)
-    if bits == 4:
-        return _split_pack(codes, 2, 4)
-    if bits == 2:
-        return _split_pack(codes, 4, 2)
-    if bits == 3:
-        return _bitplane_pack(codes, 3)
-    raise ValueError(f"unsupported bit width {bits}")
+        out = cg.astype(jnp.uint8)
+    elif bits == 4:
+        out = _split_pack(cg, 2, 4)
+    elif bits == 2:
+        out = _split_pack(cg, 4, 2)
+    elif bits == 3:
+        out = _bitplane_pack(cg, 3)
+        # (..., n//g, 3, g/8) -> flatten the plane dim into the byte axis
+        out = out.reshape(*lead, n // g, 3 * (g // 8))
+    else:
+        raise ValueError(f"unsupported bit width {bits}")
+    return out.reshape(*lead, -1)
 
 
-def unpack_rows(packed: jax.Array, bits: int) -> jax.Array:
+def unpack_rows(packed: jax.Array, bits: int, group_size: int | None = None,
+                in_features: int | None = None) -> jax.Array:
     """Inverse of :func:`pack_rows`; returns int32 codes."""
+    *lead, nbytes = packed.shape
+    n = in_features if in_features is not None else nbytes * 8 // bits
+    g = group_size if (group_size and 0 < group_size < n and n % group_size == 0) else n
+    gb = g * bits // 8  # packed bytes per group
+    pg = packed.reshape(*lead, n // g, gb)
     if bits == 8:
-        return packed.astype(jnp.int32)
-    if bits == 4:
-        return _split_unpack(packed, 2, 4)
-    if bits == 2:
-        return _split_unpack(packed, 4, 2)
-    if bits == 3:
-        return _bitplane_unpack(packed, 3)
-    raise ValueError(f"unsupported bit width {bits}")
+        out = pg.astype(jnp.int32)
+    elif bits == 4:
+        out = _split_unpack(pg, 2, 4)
+    elif bits == 2:
+        out = _split_unpack(pg, 4, 2)
+    elif bits == 3:
+        out = _bitplane_unpack(pg.reshape(*lead, n // g, 3, g // 8), 3)
+    else:
+        raise ValueError(f"unsupported bit width {bits}")
+    return out.reshape(*lead, n)
 
 
 @jax.tree_util.register_dataclass
@@ -133,8 +153,9 @@ class PackedLinear:
         m, n = q.shape
         bias = spec.max_q if spec.sym else 0
         stored = (q + bias).astype(jnp.int32)
+        g = spec.group_size if spec.group_size > 0 else n
         return cls(
-            codes=pack_rows(stored, spec.bits),
+            codes=pack_rows(stored, spec.bits, group_size=g),
             scale=scale.astype(jnp.float32),
             zero=(zero + bias).astype(jnp.float32),
             bits=spec.bits,
@@ -145,12 +166,11 @@ class PackedLinear:
 
     def dequantize(self, dtype=jnp.float32) -> jax.Array:
         """Full dequantization to (out, in) — reference path for tests/eval."""
-        q = unpack_rows(self.codes, self.bits).astype(jnp.float32)
-        g = self.group_size
+        q = unpack_rows(self.codes, self.bits, group_size=self.group_size,
+                        in_features=self.in_features).astype(jnp.float32)
         reps = self.in_features // self.scale.shape[1]
         scale = jnp.repeat(self.scale, reps, axis=1)
         zero = jnp.repeat(self.zero, reps, axis=1)
-        del g
         return ((q - zero) * scale).astype(dtype)
 
     @property

@@ -36,10 +36,12 @@ Params = dict
 
 
 def apply_linear(p, x: jax.Array) -> jax.Array:
-    """x @ Wᵀ (+ b).  p is {"w": (out,in)[, "b": (out,)]} or PackedLinear."""
+    """x @ Wᵀ (+ b).  p is {"w": (out,in)[, "b": (out,)]} or PackedLinear
+    (which routes through the fused dequant-matmul kernel on TPU)."""
     if isinstance(p, PackedLinear):
-        w = p.dequantize(dtype=x.dtype)
-        return x @ w.T
+        from tgq.kernels.dequant_matmul import quantized_matmul
+
+        return quantized_matmul(x, p)
     w = p["w"]
     y = x @ w.T.astype(x.dtype)
     if "b" in p:

@@ -1,0 +1,177 @@
+"""Continuous-batching generation engine.
+
+The scheduler keeps a fixed set of decode slots; requests are admitted
+into free slots whenever the page pool can hold their prompt (prefill
+runs immediately, padded to a page multiple), and every engine tick
+decodes one token for *all* active slots in a single jitted step.
+Finished requests free their pages on the spot — admission and
+completion interleave freely, no generation-length batching.
+
+Single-host by default; under a TP mesh the same engine works with
+sharded params and a head-sharded KV pool (pages shard on the kv-head
+axis) — see tgq.parallel.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from collections import deque
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tgq.models.config import ModelConfig
+from tgq.serve.decode import decode_step, prefill
+from tgq.serve.kv_cache import PagedKVCache, PageTable
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class ServeConfig:
+    max_slots: int = 8
+    page_size: int = 64
+    num_pages: int = 512
+    max_pages_per_slot: int = 32
+    max_new_tokens: int = 128
+    eos_id: Optional[int] = None
+    temperature: float = 0.0  # 0 = greedy
+    seed: int = 0
+
+
+@dataclasses.dataclass
+class Request:
+    rid: int
+    prompt: list[int]
+    max_new_tokens: int = 128
+    temperature: Optional[float] = None
+    output: list[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+    submit_t: float = 0.0
+    first_token_t: float = 0.0
+    finish_t: float = 0.0
+
+
+class Engine:
+    def __init__(self, params, cfg: ModelConfig, scfg: ServeConfig):
+        self.params = params
+        self.cfg = cfg
+        self.scfg = scfg
+        self.cache = PagedKVCache.init(cfg, scfg.num_pages, scfg.page_size)
+        self.pt = PageTable(scfg.num_pages, scfg.page_size, scfg.max_slots,
+                            scfg.max_pages_per_slot)
+        self.slots: list[Optional[Request]] = [None] * scfg.max_slots
+        self.queue: deque[Request] = deque()
+        self.key = jax.random.key(scfg.seed)
+        self._next_rid = 0
+        self.steps = 0
+        self.tokens_emitted = 0
+
+    # ------------------------------------------------------------- API
+
+    def submit(self, prompt: list[int], max_new_tokens: Optional[int] = None,
+               temperature: Optional[float] = None) -> Request:
+        req = Request(
+            rid=self._next_rid, prompt=list(prompt),
+            max_new_tokens=max_new_tokens or self.scfg.max_new_tokens,
+            temperature=temperature, submit_t=time.time(),
+        )
+        self._next_rid += 1
+        self.queue.append(req)
+        return req
+
+    def run(self) -> list[Request]:
+        """Drive until queue and slots are empty; returns finished reqs."""
+        finished: list[Request] = []
+        while self.queue or any(self.slots):
+            self._admit()
+            newly = self._decode_tick()
+            finished.extend(newly)
+        return finished
+
+    # -------------------------------------------------------- internals
+
+    def _sample(self, logits: jax.Array, temperature: float) -> int:
+        if temperature and temperature > 0:
+            self.key, sub = jax.random.split(self.key)
+            tok = jax.random.categorical(sub, logits / temperature)
+        else:
+            tok = jnp.argmax(logits)
+        return int(tok)
+
+    def _admit(self) -> None:
+        for s in range(self.scfg.max_slots):
+            if self.slots[s] is not None or not self.queue:
+                continue
+            req = self.queue[0]
+            n_prompt = len(req.prompt)
+            page = self.scfg.page_size
+            # prompt pages + room for one decode page
+            if not self.pt.can_alloc(n_prompt + 1):
+                break
+            self.queue.popleft()
+            pad = -(-n_prompt // page) * page
+            self.pt.alloc_slot(s, n_prompt)
+            n_pages = self.pt.pages_needed(n_prompt)
+            pages = jnp.asarray(
+                [self.pt.table[s][i] for i in range(n_pages)], jnp.int32
+            )
+            ids = np.zeros((1, pad), np.int32)
+            ids[0, :n_prompt] = req.prompt
+            logits, self.cache = prefill(
+                self.params, self.cache, self.cfg, pages,
+                jnp.asarray(ids), jnp.int32(n_prompt),
+            )
+            temp = req.temperature if req.temperature is not None else self.scfg.temperature
+            tok = self._sample(logits, temp)
+            req.output.append(tok)
+            req.first_token_t = time.time()
+            self.tokens_emitted += 1
+            self.slots[s] = req
+            if self._finished(req, tok):
+                self._retire(s)
+
+    def _finished(self, req: Request, tok: int) -> bool:
+        if self.scfg.eos_id is not None and tok == self.scfg.eos_id:
+            return True
+        return len(req.output) >= req.max_new_tokens
+
+    def _retire(self, s: int) -> None:
+        req = self.slots[s]
+        req.done = True
+        req.finish_t = time.time()
+        self.pt.free_slot(s)
+        self.slots[s] = None
+
+    def _decode_tick(self) -> list[Request]:
+        active = [s for s in range(self.scfg.max_slots) if self.slots[s]]
+        if not active:
+            return []
+        # extend lengths by 1 for the token being decoded this tick
+        for s in active:
+            self.pt.extend(s, 1)
+        table, lens = self.pt.device_tables()
+        tokens = np.zeros((self.scfg.max_slots,), np.int32)
+        for s in active:
+            tokens[s] = self.slots[s].output[-1]
+        pos = np.maximum(np.asarray(self.pt.lens, np.int32) - 1, 0)
+        logits, self.cache = decode_step(
+            self.params, self.cache, self.cfg, table, lens,
+            jnp.asarray(tokens), jnp.asarray(pos),
+        )
+        logits = np.asarray(logits)
+        self.steps += 1
+        finished = []
+        for s in active:
+            req = self.slots[s]
+            temp = req.temperature if req.temperature is not None else self.scfg.temperature
+            tok = self._sample(jnp.asarray(logits[s]), temp)
+            req.output.append(tok)
+            self.tokens_emitted += 1
+            if self._finished(req, tok):
+                self._retire(s)
+                finished.append(req)
+        return finished

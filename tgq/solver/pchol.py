@@ -150,36 +150,13 @@ def _pf_gather(lt, perm, rank):
 
 
 @jax.jit
-def _pf_gram_chol(a, mask_r):
-    tail = jnp.diag(1.0 - mask_r)
-    g = _dot(a, a.T) + tail                 # [[LpᵀLp, 0], [0, I]]
-    return jsl.cholesky(g, lower=True)
-
-
-@jax.jit
-def _pf_solve_chunk(cg, a_chunk):
-    return jsl.cho_solve((cg, True), a_chunk)
-
-
-def _pf_solve(cg, a, chunk: int = 4096):
-    """K = G⁻¹A, solved in column chunks — XLA's TPU triangular_solve
-    allocates temp tiles proportional to the RHS width, and a full-width
-    12288² RHS overflows HBM temps on a 16 GB chip."""
-    n = a.shape[1]
-    if n <= chunk:
-        return _pf_solve_chunk(cg, a)
-    outs = [_pf_solve_chunk(cg, a[:, j : j + chunk]) for j in range(0, n, chunk)]
-    return jnp.concatenate(outs, axis=1)
+def _pf_gram(a, mask_r):
+    return _dot(a, a.T) + jnp.diag(1.0 - mask_r)  # [[LpᵀLp, 0], [0, I]]
 
 
 @partial(jax.jit, donate_argnums=(0,))
 def _pf_gram2(k, mask_r):
     return _dot(k.T, k) + jnp.diag(1.0 - mask_r)  # H⁺_perm + I_tail
-
-
-@partial(jax.jit, donate_argnums=(0,))
-def _pf_cholu(p):
-    return jnp.triu(jsl.cholesky(p, lower=False))
 
 
 def _pchol_factors_jit(lt: jax.Array, perm: jax.Array, rank: jax.Array,
@@ -196,15 +173,21 @@ def _pchol_factors_jit(lt: jax.Array, perm: jax.Array, rank: jax.Array,
     — precisely the full-width triangular factor the quantization loop
     wants (identity tail rows ⇒ RTN tail, cross-block preserved).
     """
+    from tgq.solver.blocked_linalg import blocked_cholesky_lower, cho_solve_chunked
+
     a, mask_r = _pf_gather(lt, perm, rank)
-    cg = _pf_gram_chol(a, mask_r)
-    k = _pf_solve(cg, a)
+    g = _pf_gram(a, mask_r)
+    cg = blocked_cholesky_lower(g)
+    del g
+    k = cho_solve_chunked(cg, a)
     del cg
     if not want_rx:
         del a
         a = None
     p = _pf_gram2(k, mask_r)
-    r_full = _pf_cholu(p)
+    from tgq.solver.blocked_linalg import blocked_cholesky_upper
+
+    r_full = jnp.triu(blocked_cholesky_upper(p))
     return r_full, a
 
 
