@@ -210,6 +210,9 @@ def quantize_model(
     back as bf16 dense).  Returns (params, packed export dict keyed by
     "layers.<i>.<path>", experiment log).
     """
+    from tgq.utils.profiling import PhaseTimers
+
+    timers = PhaseTimers()
     n_samples, seq_len = input_ids.shape
     bs = qcfg.batch_size
     spec = qcfg.spec
@@ -255,14 +258,18 @@ def quantize_model(
                     )
                 else:
                     acc = HessianAccumulator.init(in_f)
-                for j in range(0, n_samples, bs):
-                    a = _group_input(lp, cfg, gi, inps[j : j + bs], cos, sin,
-                                     attn_impl=qcfg.attn_impl)
-                    acc = acc.update(a)
-                h_or_y = np.asarray(acc.finalize())
+                with timers.phase("accumulate"):
+                    for j in range(0, n_samples, bs):
+                        a = _group_input(lp, cfg, gi, inps[j : j + bs], cos, sin,
+                                         attn_impl=qcfg.attn_impl)
+                        acc = acc.update(a)
+                    h_or_y = acc.finalize()
+                    if qcfg.mode in ("eigh", "gptq", "svd"):
+                        h_or_y = np.asarray(h_or_y)  # host factorization paths
                 del acc
                 t_f = time.time()
-                stats = _factorize(h_or_y, qcfg, eps)
+                with timers.phase("factorize"):
+                    stats = _factorize(h_or_y, qcfg, eps)
                 logger.info("   factorized %s in %.2fs (rank %d/%d)",
                             h_or_y.shape, time.time() - t_f, stats.rank, in_f)
                 del h_or_y
@@ -270,18 +277,19 @@ def quantize_model(
             for name in group_names:
                 t_solve = time.time()
                 w = get_nested(lp, name)["w"].astype(jnp.float32)
-                if qcfg.mode == "rtn" or stats is None:
-                    codes, wq, p = _rtn_quantize(w, spec)
-                    rank, rel = w.shape[1], float("nan")
-                    scale, zero = p.scale, p.zero
-                else:
-                    res = quantize_weight(
-                        w, stats, spec, block_size=qcfg.block_size,
-                        backend=qcfg.kernel_backend,
-                    )
-                    codes, wq = res.codes, res.w_q
-                    scale, zero = res.scale, res.zero
-                    rank, rel = stats.rank, float(res.rel_error)
+                with timers.phase("quantize"):
+                    if qcfg.mode == "rtn" or stats is None:
+                        codes, wq, p = _rtn_quantize(w, spec)
+                        rank, rel = w.shape[1], float("nan")
+                        scale, zero = p.scale, p.zero
+                    else:
+                        res = quantize_weight(
+                            w, stats, spec, block_size=qcfg.block_size,
+                            backend=qcfg.kernel_backend,
+                        )
+                        codes, wq = res.codes, res.w_q
+                        scale, zero = res.scale, res.zero
+                        rank, rel = stats.rank, float(res.rel_error)
                 # write back dequantized weight (bf16) for the re-forward
                 old = get_nested(lp, name)
                 new_p = dict(old) if isinstance(old, dict) else {}
@@ -300,12 +308,13 @@ def quantize_model(
                 )
 
         # re-forward through the quantized layer for the next layer's inputs
-        outs = []
-        for j in range(0, n_samples, bs):
-            outs.append(_layer_forward(lp, cfg, inps[j : j + bs], cos, sin,
-                                       attn_impl=qcfg.attn_impl))
-        inps = jnp.concatenate(outs, axis=0)
-        del outs
+        with timers.phase("reforward"):
+            outs = []
+            for j in range(0, n_samples, bs):
+                outs.append(_layer_forward(lp, cfg, inps[j : j + bs], cos, sin,
+                                           attn_impl=qcfg.attn_impl))
+            inps = jnp.concatenate(outs, axis=0)
+            del outs
 
         # persist quantized layer back to the host tree, free device copy
         params["model"]["layers"][li] = jax.device_get(lp)
@@ -314,4 +323,6 @@ def quantize_model(
                     li + 1, n_layers, time.time() - layer_t0)
 
     log["metrics"]["total_time"] = time.time() - t_start
+    log["metrics"]["phase_timing"] = timers.summary()
+    timers.log_summary()
     return params, packed, log

@@ -64,6 +64,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="GPTQ column block size")
     t.add_argument("--no_pack", action="store_true",
                    help="Skip packed INT export")
+    t.add_argument("--profile_dir", type=str, default=None,
+                   help="Write a jax.profiler device trace of the pipeline")
 
     o = p.add_argument_group("Output Configuration")
     o.add_argument("--save_path", type=str, default="./output",

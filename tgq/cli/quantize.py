@@ -96,7 +96,10 @@ def main(argv=None) -> int:
             params, cfg, input_ids, qcfg
         )
     else:
-        params, packed, run_log = quantize_model(params, cfg, input_ids, qcfg)
+        from tgq.utils.profiling import device_trace
+
+        with device_trace(args.profile_dir):
+            params, packed, run_log = quantize_model(params, cfg, input_ids, qcfg)
         experiment_log["layer_stats"] = run_log["layer_stats"]
         experiment_log["metrics"].update(run_log["metrics"])
 

@@ -1,0 +1,124 @@
+"""Serving entry point + throughput benchmark harness.
+
+``tgq-serve --checkpoint <dir>`` loads a packed-INT checkpoint (or a
+preset with on-the-fly RTN packing for synthetic runs) and drives the
+continuous-batching engine with a synthetic load, reporting decode
+throughput (tokens/s), time-to-first-token, and per-request latency —
+the BASELINE.json north-star serving metrics (the reference publishes no
+serving numbers, SURVEY.md §6).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import time
+
+import numpy as np
+
+
+def load_or_make_model(args):
+    import jax
+    import jax.numpy as jnp
+
+    from tgq.models.hf_import import resolve_model
+
+    if args.checkpoint:
+        from tgq.core.checkpoint import load_quantized
+
+        params, cfg, _ = load_quantized(args.checkpoint)
+        return params, cfg
+
+    params, cfg, _ = resolve_model(args.model_id, seed=0)
+    if args.w_bits < 16:
+        # on-the-fly RTN pack (synthetic serving benchmarks)
+        from tgq.core.packing import PackedLinear
+        from tgq.core.quant import QuantSpec, expand_params, find_params, quantize
+        from tgq.models.causal_lm import find_linear_paths, get_nested, set_nested
+
+        spec = QuantSpec(bits=args.w_bits, group_size=args.group_size, sym=False)
+        for lp in params["model"]["layers"]:
+            for name in find_linear_paths(cfg):
+                w = jnp.asarray(get_nested(lp, name)["w"], jnp.float32)
+                p = find_params(w, spec)
+                s, z = expand_params(p, w.shape[1])
+                q = quantize(w, s, z, spec).astype(jnp.int32)
+                set_nested(lp, name, PackedLinear.from_codes(q, p.scale, p.zero, spec))
+    return params, cfg
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", default=None,
+                    help="packed checkpoint dir (tgq.core.checkpoint)")
+    ap.add_argument("--model_id", default="qwen3-8b",
+                    help="preset/HF path when no checkpoint given")
+    ap.add_argument("--w_bits", type=int, default=4,
+                    help="RTN bits for on-the-fly packing (16 = dense)")
+    ap.add_argument("--group_size", type=int, default=128)
+    ap.add_argument("--n_requests", type=int, default=16)
+    ap.add_argument("--prompt_len", type=int, default=128)
+    ap.add_argument("--gen_tokens", type=int, default=64)
+    ap.add_argument("--max_slots", type=int, default=8)
+    ap.add_argument("--page_size", type=int, default=64)
+    ap.add_argument("--num_pages", type=int, default=1024)
+    ap.add_argument("--temperature", type=float, default=0.0)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--profile_dir", default=None,
+                    help="write a jax.profiler trace here")
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    import jax
+
+    from tgq.serve import Engine, ServeConfig
+
+    params, cfg = load_or_make_model(args)
+    max_pages_per_slot = -(-(args.prompt_len + args.gen_tokens + args.page_size)
+                           // args.page_size)
+    scfg = ServeConfig(
+        max_slots=args.max_slots, page_size=args.page_size,
+        num_pages=args.num_pages, max_pages_per_slot=max_pages_per_slot,
+        max_new_tokens=args.gen_tokens, temperature=args.temperature,
+        seed=args.seed,
+    )
+    eng = Engine(params, cfg, scfg)
+
+    rng = np.random.default_rng(args.seed)
+    prompts = [rng.integers(0, cfg.vocab_size, size=args.prompt_len).tolist()
+               for _ in range(args.n_requests)]
+
+    # warm-up: one request compiles prefill + decode
+    eng.submit(prompts[0][: args.prompt_len])
+    eng.run()
+
+    reqs = [eng.submit(p) for p in prompts]
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
+    t0 = time.time()
+    eng.run()
+    wall = time.time() - t0
+    if args.profile_dir:
+        jax.profiler.stop_trace()
+
+    total_tokens = sum(len(r.output) for r in reqs)
+    ttft = [r.first_token_t - r.submit_t for r in reqs]
+    out = {
+        "metric": "decode_tokens_per_second",
+        "value": round(total_tokens / wall, 2),
+        "unit": "tok/s",
+        "total_tokens": total_tokens,
+        "wall_s": round(wall, 2),
+        "ttft_p50_s": round(float(np.percentile(ttft, 50)), 3),
+        "config": {
+            "model": cfg.name, "w_bits": args.w_bits,
+            "slots": args.max_slots, "prompt_len": args.prompt_len,
+            "gen_tokens": args.gen_tokens, "n_requests": args.n_requests,
+        },
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    main()

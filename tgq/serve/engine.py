@@ -56,11 +56,28 @@ class Request:
 
 
 class Engine:
-    def __init__(self, params, cfg: ModelConfig, scfg: ServeConfig):
-        self.params = params
+    def __init__(self, params, cfg: ModelConfig, scfg: ServeConfig, mesh=None):
+        """``mesh``: optional ("data","model") Mesh — params are TP-sharded
+        per tgq.parallel rules and the KV page pools shard on the kv-head
+        axis, so the same engine serves single-chip or a whole slice."""
         self.cfg = cfg
         self.scfg = scfg
-        self.cache = PagedKVCache.init(cfg, scfg.num_pages, scfg.page_size)
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from tgq.parallel import shard_params
+
+            self.params = shard_params(params, mesh)
+            kv_shard = NamedSharding(mesh, P(None, None, None, "model", None))
+            cache = PagedKVCache.init(cfg, scfg.num_pages, scfg.page_size)
+            self.cache = PagedKVCache(
+                k=jax.device_put(cache.k, kv_shard),
+                v=jax.device_put(cache.v, kv_shard),
+            )
+        else:
+            self.params = params
+            self.cache = PagedKVCache.init(cfg, scfg.num_pages, scfg.page_size)
         self.pt = PageTable(scfg.num_pages, scfg.page_size, scfg.max_slots,
                             scfg.max_pages_per_slot)
         self.slots: list[Optional[Request]] = [None] * scfg.max_slots
