@@ -29,21 +29,42 @@ def load_or_make_model(args):
         params, cfg, _ = load_quantized(args.checkpoint)
         return params, cfg
 
-    params, cfg, _ = resolve_model(args.model_id, seed=0)
+    # stage params host-side when a CPU backend is available so a large
+    # model never materializes dense on the accelerator
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None and jax.default_backend() != "cpu":
+        with jax.default_device(cpu):
+            params, cfg, _ = resolve_model(args.model_id, seed=0)
+    else:
+        params, cfg, _ = resolve_model(args.model_id, seed=0)
+
     if args.w_bits < 16:
-        # on-the-fly RTN pack (synthetic serving benchmarks)
+        # on-the-fly RTN pack, one layer on-device at a time: only the
+        # packed codes (b bits/weight) stay resident
         from tgq.core.packing import PackedLinear
         from tgq.core.quant import QuantSpec, expand_params, find_params, quantize
         from tgq.models.causal_lm import find_linear_paths, get_nested, set_nested
 
         spec = QuantSpec(bits=args.w_bits, group_size=args.group_size, sym=False)
-        for lp in params["model"]["layers"]:
+        for li, lp in enumerate(params["model"]["layers"]):
             for name in find_linear_paths(cfg):
-                w = jnp.asarray(get_nested(lp, name)["w"], jnp.float32)
+                entry = get_nested(lp, name)
+                w = jax.device_put(entry["w"]).astype(jnp.float32)
                 p = find_params(w, spec)
                 s, z = expand_params(p, w.shape[1])
                 q = quantize(w, s, z, spec).astype(jnp.int32)
                 set_nested(lp, name, PackedLinear.from_codes(q, p.scale, p.zero, spec))
+                del w, entry
+            # move the layer's remaining dense leaves (norms, biases)
+            params["model"]["layers"][li] = jax.device_put(
+                params["model"]["layers"][li])
+    params["model"]["embed_tokens"] = jax.device_put(params["model"]["embed_tokens"])
+    params["model"]["norm"] = jax.device_put(params["model"]["norm"])
+    if "lm_head" in params:
+        params["lm_head"] = jax.device_put(params["lm_head"])
     return params, cfg
 
 
