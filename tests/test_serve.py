@@ -52,23 +52,63 @@ def test_continuous_batching_multiple_requests(params):
         assert len(r.output) == 4
         assert r.output == greedy_reference(params, p, 4), p
     # all pages returned to the pool
-    assert len(eng.pt.free) == scfg.num_pages - 1  # page 0 reserved
+    assert eng.pt.num_free == scfg.num_pages - 1  # page 0 reserved
 
 
-def test_page_allocator():
-    pt = PageTable(num_pages=16, page_size=4, max_slots=2, max_pages_per_slot=4)
+@pytest.mark.parametrize("backend", ["python", "auto"])
+def test_page_allocator(backend):
+    pt = PageTable(num_pages=16, page_size=4, max_slots=2,
+                   max_pages_per_slot=4, backend=backend)
     assert pt.can_alloc(12)
-    pt.alloc_slot(0, 10)  # 3 pages
+    pages = pt.alloc_slot(0, 10)  # 3 pages
     assert pt.lens[0] == 10
-    used = [p for p in pt.table[0] if p >= 0]
-    assert len(used) == 3
+    assert len(pages) == 3 == len(pt.slot_pages(0))
     pt.extend(0, 1)  # 11 tokens still 3 pages
-    assert len([p for p in pt.table[0] if p >= 0]) == 3
-    pt.extend(0, 1)  # 12 -> crosses into page 3 at 13
+    assert len(pt.slot_pages(0)) == 3
+    pt.extend(0, 1)
     pt.extend(0, 1)  # 13 tokens -> 4 pages
-    assert len([p for p in pt.table[0] if p >= 0]) == 4
+    assert len(pt.slot_pages(0)) == 4
     pt.free_slot(0)
-    assert len(pt.free) == 15
+    assert pt.num_free == 15
+
+
+def test_page_allocator_backends_equivalent(rng):
+    """Randomized op sequence: native and python backends stay in
+    lockstep on every observable."""
+    from tgq._native import get_page_alloc_cls
+
+    if get_page_alloc_cls() is None:
+        pytest.skip("no C++ toolchain")
+    kw = dict(num_pages=32, page_size=4, max_slots=4, max_pages_per_slot=8)
+    a = PageTable(backend="python", **kw)
+    b = PageTable(backend="native", **kw)
+    active: set[int] = set()
+    for _ in range(300):
+        op = rng.integers(0, 3)
+        if op == 0:
+            free_slots = [s for s in range(4) if s not in active]
+            n = int(rng.integers(1, 20))
+            if free_slots and a.can_alloc(n) == b.can_alloc(n) and a.can_alloc(n):
+                s = free_slots[0]
+                assert a.alloc_slot(s, n) == b.alloc_slot(s, n)
+                active.add(s)
+        elif op == 1 and active:
+            s = sorted(active)[int(rng.integers(0, len(active)))]
+            if a.pages_needed(a.lens[s] + 1) <= 8 and a.num_free == b.num_free:
+                if a.pages_needed(a.lens[s] + 1) - a.pages_needed(a.lens[s]) <= a.num_free:
+                    a.extend(s, 1)
+                    b.extend(s, 1)
+        elif op == 2 and active:
+            s = sorted(active)[int(rng.integers(0, len(active)))]
+            a.free_slot(s)
+            b.free_slot(s)
+            active.discard(s)
+        assert a.lens == b.lens
+        assert a.num_free == b.num_free
+        ta, la = a.device_tables()
+        tb, lb = b.device_tables()
+        np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
 
 
 def test_eos_stopping(params):

@@ -131,11 +131,7 @@ class Engine:
                 break
             self.queue.popleft()
             pad = -(-n_prompt // page) * page
-            self.pt.alloc_slot(s, n_prompt)
-            n_pages = self.pt.pages_needed(n_prompt)
-            pages = jnp.asarray(
-                [self.pt.table[s][i] for i in range(n_pages)], jnp.int32
-            )
+            pages = jnp.asarray(self.pt.alloc_slot(s, n_prompt), jnp.int32)
             ids = np.zeros((1, pad), np.int32)
             ids[0, :n_prompt] = req.prompt
             logits, self.cache = prefill(

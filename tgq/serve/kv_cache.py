@@ -25,63 +25,117 @@ import jax.numpy as jnp
 from tgq.models.config import ModelConfig
 
 
-@dataclasses.dataclass
 class PageTable:
-    """Host-side page allocator + per-slot logical→physical mapping."""
+    """Host-side page allocator + per-slot logical→physical mapping.
 
-    num_pages: int
-    page_size: int
-    max_slots: int
-    max_pages_per_slot: int
+    Two interchangeable backends with identical semantics: the native
+    C++ allocator (tgq/_native/pagealloc.cc — the production serving
+    runtime) and a pure-Python fallback.  Page 0 is reserved as the
+    scratch page: freed/inactive slots' table entries clamp to it, so
+    the decode step's vectorized scatter for inactive slots lands
+    somewhere harmless.
+    """
 
-    def __post_init__(self):
-        # page 0 is reserved as the scratch page: freed/inactive slots'
-        # table entries clamp to it, so the decode step's vectorized
-        # scatter for inactive slots lands somewhere harmless
-        self.free = list(range(self.num_pages - 1, 0, -1))
-        self.table = [[-1] * self.max_pages_per_slot for _ in range(self.max_slots)]
-        self.lens = [0] * self.max_slots
+    def __init__(self, num_pages: int, page_size: int, max_slots: int,
+                 max_pages_per_slot: int, backend: str = "auto"):
+        import numpy as np
+
+        self.num_pages = num_pages
+        self.page_size = page_size
+        self.max_slots = max_slots
+        self.max_pages_per_slot = max_pages_per_slot
+        self._tbuf = np.zeros((max_slots, max_pages_per_slot), np.int32)
+        self._lbuf = np.zeros((max_slots,), np.int32)
+
+        self._native = None
+        if backend in ("auto", "native"):
+            from tgq._native import get_page_alloc_cls
+
+            cls = get_page_alloc_cls()
+            if cls is not None:
+                self._native = cls(num_pages=num_pages, page_size=page_size,
+                                   max_slots=max_slots,
+                                   max_pages_per_slot=max_pages_per_slot)
+            elif backend == "native":
+                raise RuntimeError("native page allocator unavailable")
+        if self._native is None:
+            self._free = list(range(num_pages - 1, 0, -1))
+            self._table = [[-1] * max_pages_per_slot for _ in range(max_slots)]
+            self._lens = [0] * max_slots
+
+    # ------------------------------------------------------------- API
 
     def pages_needed(self, n_tokens: int) -> int:
         return -(-n_tokens // self.page_size)
 
-    def can_alloc(self, n_tokens: int) -> bool:
-        return len(self.free) >= self.pages_needed(n_tokens)
+    @property
+    def num_free(self) -> int:
+        if self._native is not None:
+            return self._native.num_free()
+        return len(self._free)
 
-    def alloc_slot(self, slot: int, n_tokens: int) -> None:
+    @property
+    def lens(self) -> list[int]:
+        if self._native is not None:
+            return [self._native.get_len(s) for s in range(self.max_slots)]
+        return list(self._lens)
+
+    def can_alloc(self, n_tokens: int) -> bool:
+        return self.num_free >= self.pages_needed(n_tokens)
+
+    def alloc_slot(self, slot: int, n_tokens: int) -> tuple[int, ...]:
+        """Allocate a slot's prompt pages; returns the physical pages."""
+        if self._native is not None:
+            return self._native.alloc_slot(slot, n_tokens)
         need = self.pages_needed(n_tokens)
         assert need <= self.max_pages_per_slot, (need, self.max_pages_per_slot)
-        assert len(self.free) >= need, "page pool exhausted"
+        assert len(self._free) >= need, "page pool exhausted"
         for i in range(need):
-            self.table[slot][i] = self.free.pop()
-        self.lens[slot] = n_tokens
+            self._table[slot][i] = self._free.pop()
+        self._lens[slot] = n_tokens
+        return tuple(self._table[slot][:need])
 
     def extend(self, slot: int, n_new: int = 1) -> None:
         """Grow a slot by n_new tokens, allocating pages on crossing."""
-        old = self.lens[slot]
+        if self._native is not None:
+            self._native.extend(slot, n_new)
+            return
+        old = self._lens[slot]
         new = old + n_new
         have = self.pages_needed(old) if old else 0
         need = self.pages_needed(new)
         for i in range(have, need):
-            assert self.free, "page pool exhausted"
-            self.table[slot][i] = self.free.pop()
-        self.lens[slot] = new
+            assert self._free, "page pool exhausted"
+            self._table[slot][i] = self._free.pop()
+        self._lens[slot] = new
 
     def free_slot(self, slot: int) -> None:
-        for i, p in enumerate(self.table[slot]):
+        if self._native is not None:
+            self._native.free_slot(slot)
+            return
+        for i, p in enumerate(self._table[slot]):
             if p >= 0:
-                self.free.append(p)
-                self.table[slot][i] = -1
-        self.lens[slot] = 0
+                self._free.append(p)
+                self._table[slot][i] = -1
+        self._lens[slot] = 0
+
+    def slot_pages(self, slot: int) -> tuple[int, ...]:
+        if self._native is not None:
+            return self._native.slot_pages(slot)
+        return tuple(p for p in self._table[slot] if p >= 0)
 
     def device_tables(self):
         """(table (slots, mpps) int32 — freed entries clamp to page 0 —
         and lens (slots,) int32) for the jitted step."""
         import numpy as np
 
-        t = np.asarray(self.table, np.int32)
-        t = np.where(t < 0, 0, t)
-        return jnp.asarray(t), jnp.asarray(self.lens, jnp.int32)
+        if self._native is not None:
+            self._native.fill_tables(self._tbuf, self._lbuf)
+            return jnp.asarray(self._tbuf), jnp.asarray(self._lbuf)
+        t = np.asarray(self._table, np.int32)
+        np.copyto(self._tbuf, np.where(t < 0, 0, t))
+        self._lbuf[:] = self._lens
+        return jnp.asarray(self._tbuf), jnp.asarray(self._lbuf)
 
 
 @jax.tree_util.register_dataclass
