@@ -65,8 +65,10 @@ def _dequant_matmul_kernel(x_ref, codes_ref, scale_ref, zero_ref, o_ref, *,
     q = _unpack_tile(codes_ref, bits, group_size, k_tile)      # (TO, KT)
     to = q.shape[0]
     ng = k_tile // group_size
-    scale = scale_ref[:].reshape(to, ng, 1)
-    zero = zero_ref[:].reshape(to, ng, 1)
+    # scale/zero arrive transposed (ng, TO) — Mosaic tile constraints —
+    # and are re-oriented here (tiny relayout)
+    scale = scale_ref[:].T.reshape(to, ng, 1)
+    zero = zero_ref[:].T.reshape(to, ng, 1)
     w = ((q.reshape(to, ng, group_size) - zero) * scale).reshape(to, k_tile)
     x = x_ref[:].astype(jnp.float32)                            # (TT, KT)
     o_ref[:] += jax.lax.dot_general(
@@ -97,8 +99,19 @@ def quantized_matmul(
         return y.astype(out_dtype).reshape(*lead, m)
 
     g = w.group_size
+    # Mosaic tile legality when k-tiling (multiple k blocks): the packed
+    # byte tile's lane dim must be 128-divisible and the (ng, TO) scale
+    # tile's sublane dim 8-divisible → k_tile must be a multiple of
+    # lcm(bytes_unit(bits), 8·group).  A single k block (k_tile == n) is
+    # always legal (blocks equal to full array dims).
+    bytes_unit = {8: 128, 4: 256, 3: 1024, 2: 512}[w.bits]
+    import math
+
+    unit = math.lcm(bytes_unit, 8 * g)
     k_tile = min(k_tile, n)
-    k_tile = max(g, (k_tile // g) * g)
+    k_tile = (k_tile // unit) * unit
+    if k_tile <= 0 or n % k_tile != 0:
+        k_tile = unit if (unit < n and n % unit == 0) else n
     tt = min(token_tile, max(8, -(-t // 8) * 8))
     to = min(out_tile, m)
     bytes_per_k = w.bits * k_tile // 8
@@ -121,9 +134,9 @@ def quantized_matmul(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((to, bytes_per_k), lambda i, j, k: (i, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((to, ng_tile), lambda i, j, k: (i, k),
+            pl.BlockSpec((ng_tile, to), lambda i, j, k: (k, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((to, ng_tile), lambda i, j, k: (i, k),
+            pl.BlockSpec((ng_tile, to), lambda i, j, k: (k, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tt, to), lambda i, j, k: (j, i),
@@ -133,5 +146,5 @@ def quantized_matmul(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=jax.default_backend() != "tpu",
-    )(x2, w.codes, w.scale, w.zero)
+    )(x2, w.codes, w.scale.T, w.zero.T)
     return y[:t].astype(out_dtype).reshape(*lead, m)
