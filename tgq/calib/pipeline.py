@@ -147,6 +147,13 @@ def _rtn_quantize(w: jax.Array, spec: QuantSpec):
     return codes.astype(jnp.int32), wq, p
 
 
+def _shard_layer(lp, mesh):
+    """TP-shard one decoder layer's params (rules from tgq.parallel)."""
+    from tgq.parallel import shard_params
+
+    return shard_params(lp, mesh)
+
+
 def spectral_consistency_check(
     params: Params,
     cfg: ModelConfig,
@@ -203,12 +210,21 @@ def quantize_model(
     cfg: ModelConfig,
     input_ids: np.ndarray,
     qcfg: QuantizeConfig,
+    mesh=None,
 ) -> tuple[Params, dict[str, PackedLinear], dict[str, Any]]:
     """Quantize every decoder layer in place (layer-sequential).
 
     params: host-resident param tree (mutated: quantized weights written
     back as bf16 dense).  Returns (params, packed export dict keyed by
     "layers.<i>.<path>", experiment log).
+
+    With ``mesh`` (a ("data","model") Mesh): calibration activations are
+    batch-sharded on "data" and layer params TP-sharded on "model" —
+    group-input forwards run data-parallel with TP matmuls, and the
+    Hessian's token-dim contraction becomes a compiler-inserted
+    all-reduce (Gram matrices are additive over samples, so DP
+    accumulation is exact).  The factorization and quantize loop run on
+    replicated factors.
     """
     from tgq.utils.profiling import PhaseTimers
 
@@ -227,20 +243,35 @@ def quantize_model(
 
     # capture initial hidden states (reference capture_initial_inputs)
     t_start = time.time()
-    embed_w = jax.device_put(params["model"]["embed_tokens"]["weight"])
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_shard = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        put_layer = lambda lp: _shard_layer(lp, mesh)  # noqa: E731
+    else:
+        batch_shard = repl = None
+        put_layer = jax.device_put
+    embed_w = jax.device_put(params["model"]["embed_tokens"]["weight"],
+                             repl) if repl else jax.device_put(
+        params["model"]["embed_tokens"]["weight"])
     batches = []
     emb = jax.jit(lambda w, ids: w[ids].astype(jnp.bfloat16))
     for j in range(0, n_samples, bs):
         ids = jnp.asarray(input_ids[j : j + bs])
+        if batch_shard is not None:
+            ids = jax.device_put(ids, batch_shard)
         batches.append(emb(embed_w, ids))
     inps = jnp.concatenate(batches, axis=0)
+    if batch_shard is not None:
+        inps = jax.device_put(inps, batch_shard)
     del embed_w, batches
     logger.info("[calib] captured %d sequences of %d tokens", n_samples, seq_len)
 
     n_layers = len(params["model"]["layers"])
     for li in range(n_layers):
         layer_t0 = time.time()
-        lp = jax.device_put(params["model"]["layers"][li])
+        lp = put_layer(params["model"]["layers"][li])
 
         for gi, group_names in enumerate(groups):
             logger.info("[layer %d/%d] group %d: %s",
