@@ -130,11 +130,16 @@ def unpack_rows(packed: jax.Array, bits: int, group_size: int | None = None,
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class PackedLinear:
-    """A quantized linear layer's on-HBM representation.
+    """A quantized linear layer's on-HBM representation, **K-major**:
 
-    ``codes`` are stored unsigned (symmetric codes biased by +max_q, bias
-    folded into ``zero``), packed along in_features.  ``scale``/``zero``
-    are per-group, shape (out, n_groups), fp32.
+    - ``codes``: (packed_in_bytes, out) uint8 — packed along in_features
+      (group-local layout from pack_rows), then stored transposed so the
+      contraction dim is the sublane dim.  The fused dequant-matmul
+      kernel then only ever splits/merges leading dims (Mosaic-legal)
+      and feeds the MXU a (KT, TO) operand with no transposes.
+    - ``scale``/``zero``: (n_groups, out) f32.
+    - codes are unsigned (symmetric codes biased by +max_q, bias folded
+      into ``zero``).
     """
 
     codes: jax.Array
@@ -155,22 +160,22 @@ class PackedLinear:
         stored = (q + bias).astype(jnp.int32)
         g = spec.group_size if spec.group_size > 0 else n
         return cls(
-            codes=pack_rows(stored, spec.bits, group_size=g),
-            scale=scale.astype(jnp.float32),
-            zero=(zero + bias).astype(jnp.float32),
+            codes=pack_rows(stored, spec.bits, group_size=g).T,
+            scale=scale.astype(jnp.float32).T,
+            zero=(zero + bias).astype(jnp.float32).T,
             bits=spec.bits,
-            group_size=spec.group_size if spec.group_size > 0 else n,
+            group_size=g,
             in_features=n,
             out_features=m,
         )
 
     def dequantize(self, dtype=jnp.float32) -> jax.Array:
         """Full dequantization to (out, in) — reference path for tests/eval."""
-        q = unpack_rows(self.codes, self.bits, group_size=self.group_size,
+        q = unpack_rows(self.codes.T, self.bits, group_size=self.group_size,
                         in_features=self.in_features).astype(jnp.float32)
-        reps = self.in_features // self.scale.shape[1]
-        scale = jnp.repeat(self.scale, reps, axis=1)
-        zero = jnp.repeat(self.zero, reps, axis=1)
+        reps = self.in_features // self.scale.shape[0]
+        scale = jnp.repeat(self.scale.T, reps, axis=1)
+        zero = jnp.repeat(self.zero.T, reps, axis=1)
         return ((q - zero) * scale).astype(dtype)
 
     @property

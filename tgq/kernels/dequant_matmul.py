@@ -1,59 +1,61 @@
 """Fused dequant + matmul Pallas kernel — the serving engine's hot op.
 
-``y = x @ Wᵀ`` with W stored packed-INT in HBM (tgq.core.packing layout:
-codes packed *within* each quantization group, so any group-aligned
-column window is self-contained).  Weights cross the HBM→VMEM boundary
-packed — at INT4 that is 4× less weight traffic than bf16, which is the
-whole win for bandwidth-bound decode — and are unpacked + dequantized in
-VMEM right at the MXU edge (shifts/masks on the VPU), then fed to a
-single f32-accumulating MXU dot per tile.
+``y = x @ Wᵀ`` with W stored packed-INT in HBM in **K-major** layout
+(tgq.core.packing.PackedLinear: codes (packed_in, out), scale/zero
+(groups, out)).  Weights cross the HBM→VMEM boundary packed — at INT4
+that is 4× less weight traffic than bf16, which is the whole win for
+bandwidth-bound decode — and are unpacked + dequantized in VMEM right at
+the MXU edge, then fed to a single f32-accumulating (TT,KT)×(KT,TO) MXU
+dot per tile.
 
-Grid: (out-tiles, token-tiles, k-tiles) with accumulation over k-tiles
-into the output block (zeroed at k==0).  Static groups, no g_idx —
-matching the reference's deployment claim (README.md:43).
+Layout discipline (Mosaic): with the contraction dim on sublanes, every
+unpack step is a *leading-dim* split/merge — (BK, TO) → (ng, gb, TO) →
+nibble/plane chunks concatenated on axis 1 → (KT, TO) — which Mosaic
+lowers without lane shuffles; the lane dim (out) is never reshaped.
+Grid: (out-tiles, token-tiles, k-tiles) with accumulation over k-tiles.
+Static groups, no g_idx (reference README.md:43).
 
-The XLA fallback (`impl="xla"`) dequantizes the whole W then matmuls —
-the correctness oracle and the CPU path.
+The XLA fallback (`impl="xla"`) dequantizes then matmuls — correctness
+oracle and CPU path.
 """
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tgq.core.packing import PackedLinear, unpack_rows
+from tgq.core.packing import PackedLinear
 
 
-def _unpack_tile(codes_ref, bits: int, group_size: int, k_tile: int):
-    """Unpack a (TO, k_tile·bits/8) uint8 tile → (TO, k_tile) f32 codes."""
-    pg = codes_ref[:]
-    to = pg.shape[0]
+def _unpack_tile_kmajor(pg: jax.Array, bits: int, group_size: int):
+    """(BK, TO) packed bytes → (KT, TO) f32 codes; leading-dim ops only."""
+    bk, to = pg.shape
     g = group_size
-    ng = k_tile // g
     gb = g * bits // 8
-    pg = pg.reshape(to, ng, gb)
+    ng = bk // gb
+    w = pg.reshape(ng, gb, to).astype(jnp.int32)
     if bits == 8:
-        out = pg.astype(jnp.int32)
+        q = w
     elif bits == 4:
-        w = pg.astype(jnp.int32)
-        out = jnp.concatenate([w & 0xF, (w >> 4) & 0xF], axis=-1)
+        q = jnp.concatenate([w & 0xF, (w >> 4) & 0xF], axis=1)
     elif bits == 2:
-        w = pg.astype(jnp.int32)
-        out = jnp.concatenate([(w >> s) & 0x3 for s in (0, 2, 4, 6)], axis=-1)
+        q = jnp.concatenate([(w >> s) & 0x3 for s in (0, 2, 4, 6)], axis=1)
     elif bits == 3:
-        w = pg.reshape(to, ng, 3, g // 8).astype(jnp.int32)
-        chunks = []
-        for e in range(8):
-            val = ((w[:, :, 0, :] >> e) & 1) | ((((w[:, :, 1, :] >> e) & 1)) << 1) \
-                  | ((((w[:, :, 2, :] >> e) & 1)) << 2)
-            chunks.append(val)
-        out = jnp.concatenate(chunks, axis=-1)
+        w4 = w.reshape(ng, 3, g // 8, to)
+        chunks = [
+            (((w4[:, 0] >> e) & 1)
+             | (((w4[:, 1] >> e) & 1) << 1)
+             | (((w4[:, 2] >> e) & 1) << 2))
+            for e in range(8)
+        ]
+        q = jnp.concatenate(chunks, axis=1)
     else:
         raise ValueError(bits)
-    return out.reshape(to, k_tile).astype(jnp.float32)
+    return q.astype(jnp.float32)  # (ng, g, TO)
 
 
 def _dequant_matmul_kernel(x_ref, codes_ref, scale_ref, zero_ref, o_ref, *,
@@ -62,17 +64,14 @@ def _dequant_matmul_kernel(x_ref, codes_ref, scale_ref, zero_ref, o_ref, *,
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    q = _unpack_tile(codes_ref, bits, group_size, k_tile)      # (TO, KT)
-    to = q.shape[0]
-    ng = k_tile // group_size
-    # scale/zero arrive transposed (ng, TO) — Mosaic tile constraints —
-    # and are re-oriented here (tiny relayout)
-    scale = scale_ref[:].T.reshape(to, ng, 1)
-    zero = zero_ref[:].T.reshape(to, ng, 1)
-    w = ((q.reshape(to, ng, group_size) - zero) * scale).reshape(to, k_tile)
-    x = x_ref[:].astype(jnp.float32)                            # (TT, KT)
+    q = _unpack_tile_kmajor(codes_ref[:], bits, group_size)  # (ng, g, TO)
+    ng, g, to = q.shape
+    s = scale_ref[:].reshape(ng, 1, to)
+    z = zero_ref[:].reshape(ng, 1, to)
+    w = ((q - z) * s).reshape(k_tile, to)
+    x = x_ref[:].astype(jnp.float32)                          # (TT, KT)
     o_ref[:] += jax.lax.dot_general(
-        x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )
 
 
@@ -99,15 +98,12 @@ def quantized_matmul(
         return y.astype(out_dtype).reshape(*lead, m)
 
     g = w.group_size
-    # Mosaic tile legality when k-tiling (multiple k blocks): the packed
-    # byte tile's lane dim must be 128-divisible and the (ng, TO) scale
-    # tile's sublane dim 8-divisible → k_tile must be a multiple of
-    # lcm(bytes_unit(bits), 8·group).  A single k block (k_tile == n) is
-    # always legal (blocks equal to full array dims).
-    bytes_unit = {8: 128, 4: 256, 3: 1024, 2: 512}[w.bits]
-    import math
-
-    unit = math.lcm(bytes_unit, 8 * g)
+    # k-tile legality (Mosaic min tiles): the u8 codes tile's sublane dim
+    # (k·bits/8) must be a multiple of 32, the f32 scale tile's sublane
+    # (k/g) a multiple of 8, and x's lane dim (k) a multiple of 128 — or
+    # the k dim must be a single full tile.
+    bytes_unit = {8: 32, 4: 64, 3: 256, 2: 128}[w.bits]
+    unit = math.lcm(bytes_unit, 8 * g, 128)
     k_tile = min(k_tile, n)
     k_tile = (k_tile // unit) * unit
     if k_tile <= 0 or n % k_tile != 0:
@@ -132,7 +128,7 @@ def quantized_matmul(
         in_specs=[
             pl.BlockSpec((tt, k_tile), lambda i, j, k: (j, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((to, bytes_per_k), lambda i, j, k: (i, k),
+            pl.BlockSpec((bytes_per_k, to), lambda i, j, k: (k, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ng_tile, to), lambda i, j, k: (k, i),
                          memory_space=pltpu.VMEM),
@@ -146,5 +142,5 @@ def quantized_matmul(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=jax.default_backend() != "tpu",
-    )(x2, w.codes, w.scale.T, w.zero.T)
+    )(x2, w.codes, w.scale, w.zero)
     return y[:t].astype(out_dtype).reshape(*lead, m)

@@ -69,9 +69,14 @@ def _spec_for_path(path: tuple) -> P:
         return P("model", None)
     for i, k in enumerate(keys):
         if k.endswith("_proj"):
-            is_bias = keys[-1] == "b"
-            # PackedLinear leaves: codes/scale/zero all shard like w
-            return _linear_spec(k, for_bias=is_bias)
+            if keys[-1] == "b":
+                return _linear_spec(k, for_bias=True)
+            spec = _linear_spec(k)
+            if keys[-1] in ("codes", "scale", "zero"):
+                # PackedLinear leaves are K-major (in/groups, out):
+                # transpose the dense (out, in) spec
+                return P(spec[1], spec[0])
+            return spec
     return P()  # norms and everything else replicated
 
 
