@@ -70,45 +70,60 @@ def main() -> None:
     groups = sequenced_groups(cfg)
     spec = qcfg.spec
 
-    def run_layer(lp):
+    def run_layer(lp, timers=None):
         """The per-layer quantization flow (mirrors tgq.calib.pipeline)."""
-        t0 = time.time()
         from tgq.calib.pipeline import _group_in_features
+        from tgq.utils.profiling import PhaseTimers
 
+        timers = timers or PhaseTimers()
+
+        def synced(x):
+            # remote tunnels report ready before execution finishes; a
+            # tiny host transfer forces true completion for phase timing
+            _ = np.asarray(jax.tree.leaves(x)[0].ravel()[:1])
+            return x
+
+        t0 = time.time()
         for gi, group_names in enumerate(groups):
             in_f = _group_in_features(cfg, gi)
-            acc = HessianAccumulator.init(in_f)
-            for j in range(0, n, bs):
-                a = _group_input(lp, cfg, gi, inps[j : j + bs], cos, sin,
-                                 attn_impl=attn_impl)
-                acc = acc.update(a)
-            h = acc.finalize()
+            with timers.phase(f"accumulate_g{gi}"):
+                acc = HessianAccumulator.init(in_f)
+                for j in range(0, n, bs):
+                    a = _group_input(lp, cfg, gi, inps[j : j + bs], cos, sin,
+                                     attn_impl=attn_impl)
+                    acc = acc.update(a)
+                h = synced(acc.finalize())
             del acc
-            stats = _factorize(h, qcfg, qcfg.eps)
+            with timers.phase(f"factorize_g{gi}"):
+                stats = _factorize(h, qcfg, qcfg.eps)
+                synced(stats.r_full)
             del h
             for name in group_names:
                 w = get_nested(lp, name)["w"].astype(jnp.float32)
-                res = quantize_weight(w, stats, spec,
-                                      block_size=qcfg.block_size,
-                                      backend=qcfg.kernel_backend,
-                                      with_error=False)
+                with timers.phase("quantize"):
+                    res = quantize_weight(w, stats, spec,
+                                          block_size=qcfg.block_size,
+                                          backend=qcfg.kernel_backend,
+                                          with_error=False)
+                    synced(res.codes)
                 set_nested(lp, name, {"w": res.w_q.astype(jnp.bfloat16)})
             del stats
-        outs = [
-            _layer_forward(lp, cfg, inps[j : j + bs], cos, sin,
-                           attn_impl=attn_impl)
-            for j in range(0, n, bs)
-        ]
-        jax.block_until_ready(outs)
-        # force real completion through the transfer path (remote tunnels
-        # can report ready before execution finishes)
-        _ = np.asarray(outs[-1][:1, :1, :8])
-        return time.time() - t0
+        with timers.phase("reforward"):
+            outs = [
+                _layer_forward(lp, cfg, inps[j : j + bs], cos, sin,
+                               attn_impl=attn_impl)
+                for j in range(0, n, bs)
+            ]
+            _ = np.asarray(outs[-1][:1, :1, :8])
+        return time.time() - t0, timers
 
     lp_dev = jax.device_put(lp)
     print(f"[bench] warm-up (compiles)...", file=sys.stderr)
     run_layer(jax.device_put(lp))          # warm-up, discarded
-    t = run_layer(lp_dev)
+    t, timers = run_layer(lp_dev)
+    for k, v in timers.summary().items():
+        print(f"[bench] {k:16s} {v['total_s']:7.2f}s (n={v['count']})",
+              file=sys.stderr)
 
     baseline_s = 1534.3 / 36.0
     print(json.dumps({
