@@ -147,6 +147,103 @@ def _rtn_quantize(w: jax.Array, spec: QuantSpec):
     return codes.astype(jnp.int32), wq, p
 
 
+def _save_resume_layer(resume_dir: str, li: int, layer_host: Params,
+                       packed: dict, log: dict) -> None:
+    """Persist one finished layer (dense write-back + packed leaves +
+    its layer_stats) and advance the progress marker atomically."""
+    import json
+    import os
+
+    os.makedirs(resume_dir, exist_ok=True)
+    flat: dict[str, np.ndarray] = {}
+
+    def walk(tree, prefix=""):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                walk(v, f"{prefix}{k}.")
+        elif isinstance(tree, PackedLinear):
+            flat[f"{prefix}codes"] = np.asarray(tree.codes)
+            flat[f"{prefix}scale"] = np.asarray(tree.scale)
+            flat[f"{prefix}zero"] = np.asarray(tree.zero)
+            flat[f"{prefix}__packed__"] = np.asarray(
+                [tree.bits, tree.group_size, tree.in_features,
+                 tree.out_features])
+        else:
+            arr = np.asarray(tree)
+            if arr.dtype == jnp.bfloat16:
+                flat[f"__bf16__{prefix[:-1]}"] = arr.view(np.uint16)
+            else:
+                flat[prefix[:-1]] = arr
+
+    walk(layer_host)
+    for key, pl in packed.items():
+        if key.startswith(f"layers.{li}."):
+            walk(pl, f"__packed_export__{key}.")
+    tmp = os.path.join(resume_dir, f"layer_{li}.tmp.npz")
+    np.savez(tmp, **flat)
+    os.replace(tmp, os.path.join(resume_dir, f"layer_{li}.npz"))
+    stats = [s for s in log["layer_stats"] if s["name"].startswith(f"layer_{li}.")]
+    prog_tmp = os.path.join(resume_dir, "progress.json.tmp")
+    prog_path = os.path.join(resume_dir, "progress.json")
+    done = {}
+    if os.path.exists(prog_path):
+        with open(prog_path) as f:
+            done = json.load(f)
+    done[str(li)] = stats
+    with open(prog_tmp, "w") as f:
+        json.dump(done, f)
+    os.replace(prog_tmp, prog_path)
+
+
+def _load_resume(resume_dir: str, params: Params, packed: dict, log: dict,
+                 n_layers: int) -> int:
+    """Restore the longest completed prefix of layers; returns the first
+    layer still to do."""
+    import json
+    import os
+
+    prog_path = os.path.join(resume_dir, "progress.json")
+    if not os.path.exists(prog_path):
+        return 0
+    with open(prog_path) as f:
+        done = json.load(f)
+    import ml_dtypes
+
+    start = 0
+    while start < n_layers and str(start) in done and os.path.exists(
+        os.path.join(resume_dir, f"layer_{start}.npz")
+    ):
+        data = dict(np.load(os.path.join(resume_dir, f"layer_{start}.npz")))
+        layer: dict = {}
+        packed_groups: dict[str, dict] = {}
+
+        def insert(dotted, value, root):
+            parts = dotted.split(".")
+            cur = root
+            for p in parts[:-1]:
+                cur = cur.setdefault(p, {})
+            cur[parts[-1]] = value
+
+        for name, arr in data.items():
+            if name.startswith("__packed_export__"):
+                base, leaf = name[len("__packed_export__"):].rsplit(".", 1)
+                packed_groups.setdefault(base, {})[leaf] = arr
+            elif name.startswith("__bf16__"):
+                insert(name[len("__bf16__"):], arr.view(ml_dtypes.bfloat16), layer)
+            else:
+                insert(name, arr, layer)
+        params["model"]["layers"][start] = layer
+        for base, parts in packed_groups.items():
+            bits, gs, in_f, out_f = (int(x) for x in parts["__packed__"])
+            packed[base] = PackedLinear(
+                codes=parts["codes"], scale=parts["scale"], zero=parts["zero"],
+                bits=bits, group_size=gs, in_features=in_f, out_features=out_f,
+            )
+        log["layer_stats"].extend(done[str(start)])
+        start += 1
+    return start
+
+
 def _shard_layer(lp, mesh):
     """TP-shard one decoder layer's params (rules from tgq.parallel)."""
     from tgq.parallel import shard_params
@@ -211,6 +308,8 @@ def quantize_model(
     input_ids: np.ndarray,
     qcfg: QuantizeConfig,
     mesh=None,
+    resume_dir: Optional[str] = None,
+    stop_after_layer: Optional[int] = None,
 ) -> tuple[Params, dict[str, PackedLinear], dict[str, Any]]:
     """Quantize every decoder layer in place (layer-sequential).
 
@@ -225,6 +324,14 @@ def quantize_model(
     all-reduce (Gram matrices are additive over samples, so DP
     accumulation is exact).  The factorization and quantize loop run on
     replicated factors.
+
+    With ``resume_dir``: after every finished layer, its quantized state
+    (dense bf16 write-back + packed leaves + stats) is persisted there;
+    a re-run with the same dir skips completed layers and rebuilds the
+    propagated calibration activations by re-forwarding through them —
+    a killed sweep loses at most one layer of work (the reference
+    restarts from scratch, SURVEY.md §5).  ``stop_after_layer`` bounds
+    the sweep (testing / staged runs).
     """
     from tgq.utils.profiling import PhaseTimers
 
@@ -269,7 +376,23 @@ def quantize_model(
     logger.info("[calib] captured %d sequences of %d tokens", n_samples, seq_len)
 
     n_layers = len(params["model"]["layers"])
-    for li in range(n_layers):
+    start_layer = 0
+    if resume_dir is not None:
+        start_layer = _load_resume(resume_dir, params, packed, log, n_layers)
+        if start_layer > 0:
+            logger.info("[resume] layers 0..%d restored; re-forwarding "
+                        "calibration activations", start_layer - 1)
+            for li in range(start_layer):
+                lp = put_layer(params["model"]["layers"][li])
+                outs = [
+                    _layer_forward(lp, cfg, inps[j : j + bs], cos, sin,
+                                   attn_impl=qcfg.attn_impl)
+                    for j in range(0, n_samples, bs)
+                ]
+                inps = jnp.concatenate(outs, axis=0)
+                del lp, outs
+
+    for li in range(start_layer, n_layers):
         layer_t0 = time.time()
         lp = put_layer(params["model"]["layers"][li])
 
@@ -350,8 +473,14 @@ def quantize_model(
         # persist quantized layer back to the host tree, free device copy
         params["model"]["layers"][li] = jax.device_get(lp)
         del lp
+        if resume_dir is not None:
+            _save_resume_layer(resume_dir, li, params["model"]["layers"][li],
+                               packed, log)
         logger.info("[*] layer %d/%d done in %.2fs",
                     li + 1, n_layers, time.time() - layer_t0)
+        if stop_after_layer is not None and li >= stop_after_layer:
+            logger.info("[*] stopping after layer %d as requested", li)
+            break
 
     log["metrics"]["total_time"] = time.time() - t_start
     log["metrics"]["phase_timing"] = timers.summary()

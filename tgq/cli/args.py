@@ -66,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Skip packed INT export")
     t.add_argument("--profile_dir", type=str, default=None,
                    help="Write a jax.profiler device trace of the pipeline")
+    t.add_argument("--resume_dir", type=str, default=None,
+                   help="Per-layer checkpoint dir: a killed sweep resumes "
+                        "from the last finished layer")
 
     o = p.add_argument_group("Output Configuration")
     o.add_argument("--save_path", type=str, default="./output",

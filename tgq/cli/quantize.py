@@ -99,7 +99,8 @@ def main(argv=None) -> int:
         from tgq.utils.profiling import device_trace
 
         with device_trace(args.profile_dir):
-            params, packed, run_log = quantize_model(params, cfg, input_ids, qcfg)
+            params, packed, run_log = quantize_model(
+                params, cfg, input_ids, qcfg, resume_dir=args.resume_dir)
         experiment_log["layer_stats"] = run_log["layer_stats"]
         experiment_log["metrics"].update(run_log["metrics"])
 
