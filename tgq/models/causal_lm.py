@@ -242,8 +242,11 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.bfloat16) -> Params:
     def dense(out_f, in_f, scale=None):
         if scale is None:
             scale = 1.0 / jnp.sqrt(in_f)
-        w = jax.random.normal(next(keys), (out_f, in_f), jnp.float32) * scale
-        return {"w": w.astype(dtype)}
+        # generate directly in the target dtype: at 8B scale an f32
+        # intermediate doubles host memory and init time
+        w = jax.random.normal(next(keys), (out_f, in_f), dtype) * jnp.asarray(
+            scale, dtype)
+        return {"w": w}
 
     def maybe_bias(p, out_f):
         if cfg.attention_bias:
@@ -275,7 +278,9 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.bfloat16) -> Params:
     params: Params = {
         "model": {
             "embed_tokens": {
-                "weight": (jax.random.normal(next(keys), (cfg.vocab_size, cfg.hidden_size), jnp.float32) * 0.02).astype(dtype)
+                "weight": jax.random.normal(
+                    next(keys), (cfg.vocab_size, cfg.hidden_size), dtype
+                ) * jnp.asarray(0.02, dtype)
             },
             "layers": layers,
             "norm": {"weight": jnp.ones((cfg.hidden_size,), dtype)},

@@ -105,6 +105,59 @@ def load_hf_checkpoint(path: str, dtype=None):
     return params, cfg
 
 
+def init_params_host(cfg: ModelConfig, seed: int = 0):
+    """Random init as host numpy bf16 — PCG64 streams ~GB/s where jax's
+    threefry on a 2-core host takes tens of minutes for an 8B model.
+    Content-equivalent for synthetic benchmarks; real runs import HF
+    checkpoints."""
+    import ml_dtypes
+
+    rng = np.random.default_rng(seed)
+
+    def dense(out_f, in_f, scale=None):
+        scale = scale if scale is not None else 1.0 / np.sqrt(in_f)
+        w = (rng.standard_normal((out_f, in_f), dtype=np.float32) * scale)
+        return {"w": w.astype(ml_dtypes.bfloat16)}
+
+    ones = lambda n: np.ones((n,), ml_dtypes.bfloat16)  # noqa: E731
+    layers = []
+    for _ in range(cfg.num_layers):
+        lp = {
+            "input_layernorm": {"weight": ones(cfg.hidden_size)},
+            "post_attention_layernorm": {"weight": ones(cfg.hidden_size)},
+            "self_attn": {
+                "q_proj": dense(cfg.q_size, cfg.hidden_size),
+                "k_proj": dense(cfg.kv_size, cfg.hidden_size),
+                "v_proj": dense(cfg.kv_size, cfg.hidden_size),
+                "o_proj": dense(cfg.hidden_size, cfg.q_size),
+            },
+            "mlp": {
+                "gate_proj": dense(cfg.intermediate_size, cfg.hidden_size),
+                "up_proj": dense(cfg.intermediate_size, cfg.hidden_size),
+                "down_proj": dense(cfg.hidden_size, cfg.intermediate_size),
+            },
+        }
+        if cfg.attention_bias:
+            for p in ("q_proj", "k_proj", "v_proj"):
+                out_f = cfg.q_size if p == "q_proj" else cfg.kv_size
+                lp["self_attn"][p]["b"] = np.zeros((out_f,), ml_dtypes.bfloat16)
+        if cfg.qk_norm:
+            lp["self_attn"]["q_norm"] = {"weight": ones(cfg.head_dim)}
+            lp["self_attn"]["k_norm"] = {"weight": ones(cfg.head_dim)}
+        layers.append(lp)
+    params = {
+        "model": {
+            "embed_tokens": {"weight": dense(cfg.vocab_size, cfg.hidden_size,
+                                             scale=0.02)["w"]},
+            "layers": layers,
+            "norm": {"weight": ones(cfg.hidden_size)},
+        }
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = dense(cfg.vocab_size, cfg.hidden_size, scale=0.02)
+    return params
+
+
 def resolve_model(model_id: str, seed: int = 0):
     """Model resolution: tgq preset (random init) | local HF dir | HF hub id
     (requires local HF cache — this container has no network)."""
@@ -115,6 +168,12 @@ def resolve_model(model_id: str, seed: int = 0):
     if model_id in PRESETS:
         cfg = PRESETS[model_id]
         logger.info("[model] preset %s (random init)", model_id)
+        n_params = cfg.num_layers * (
+            cfg.hidden_size * (cfg.q_size + 2 * cfg.kv_size + cfg.hidden_size)
+            + 3 * cfg.hidden_size * cfg.intermediate_size
+        )
+        if n_params > 1e9:
+            return init_params_host(cfg, seed), cfg, None
         return init_params(cfg, jax.random.key(seed)), cfg, None
 
     if os.path.isdir(model_id):

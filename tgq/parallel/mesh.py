@@ -88,12 +88,22 @@ def param_sharding_rules(params) -> dict:
 
 
 def shard_params(params, mesh: Mesh):
-    """Place a (host) param tree onto the mesh with TP sharding."""
+    """Place a (host) param tree onto the mesh with TP sharding.
+
+    Stacked-layer trees (leaves with a leading layer axis, see
+    tgq.serve.decode.stack_layer_params) get a None prepended to each
+    spec so the layer axis stays unsharded.
+    """
     specs = param_sharding_rules(params)
-    return jax.tree.map(
-        lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
-        params, specs,
-    )
+
+    def put(leaf, spec):
+        if hasattr(leaf, "ndim") and leaf.ndim > len(spec) and any(
+            s is not None for s in spec
+        ):
+            spec = P(*([None] * (leaf.ndim - len(spec))), *spec)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, params, specs)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

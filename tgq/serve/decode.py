@@ -22,7 +22,20 @@ from tgq.models.causal_lm import (
     rope_cache,
 )
 from tgq.models.config import ModelConfig
-from tgq.serve.kv_cache import PagedKVCache, gather_slot_kv, write_decode, write_prefill
+from tgq.serve.kv_cache import PagedKVCache
+
+
+def stack_layer_params(params):
+    """Stack the per-layer param list into leading-axis pytrees so the
+    decode/prefill loops run as a single-trace ``lax.scan``."""
+    layers = params["model"]["layers"]
+    if not isinstance(layers, list):
+        return params
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    out = dict(params)
+    out["model"] = dict(params["model"])
+    out["model"]["layers"] = stacked
+    return out
 
 
 def _rope_at(cos_tab, sin_tab, pos, x):
@@ -35,22 +48,47 @@ def _rope_at(cos_tab, sin_tab, pos, x):
     return (x.astype(jnp.float32) * cos + rot.astype(jnp.float32) * sin).astype(x.dtype)
 
 
-def _paged_attention(q, cache: PagedKVCache, layer: int, table, lens):
-    """q: (slots, heads, d) one query per slot; returns (slots, heads, d)."""
-    slots, h, d = q.shape
-    k, v = gather_slot_kv(cache, layer, table)  # (slots, T, kvh, d)
-    kvh = k.shape[2]
-    rep = h // kvh
-    k = jnp.repeat(k, rep, axis=2)
-    v = jnp.repeat(v, rep, axis=2)
-    scale = 1.0 / jnp.sqrt(jnp.float32(d))
+def _decode_layer(lp, cfg: ModelConfig, x, k_pool, v_pool, cos_tab, sin_tab,
+                  pos, pages, offsets, table, lens):
+    """One decoder layer's decode for all slots against its own KV pool
+    slice (num_pages, page, kvh, d).  Returns (x, k_pool, v_pool)."""
+    slots = x.shape[0]
+    h = rms_norm(x, lp["input_layernorm"]["weight"], cfg.rms_norm_eps)
+    q = apply_linear(lp["self_attn"]["q_proj"], h).reshape(
+        slots, cfg.num_heads, cfg.head_dim)
+    k = apply_linear(lp["self_attn"]["k_proj"], h).reshape(
+        slots, cfg.num_kv_heads, cfg.head_dim)
+    v = apply_linear(lp["self_attn"]["v_proj"], h).reshape(
+        slots, cfg.num_kv_heads, cfg.head_dim)
+    if cfg.qk_norm:
+        q = rms_norm(q, lp["self_attn"]["q_norm"]["weight"], cfg.rms_norm_eps)
+        k = rms_norm(k, lp["self_attn"]["k_norm"]["weight"], cfg.rms_norm_eps)
+    q = _rope_at(cos_tab, sin_tab, pos, q)
+    k = _rope_at(cos_tab, sin_tab, pos, k)
+    k_pool = k_pool.at[pages, offsets].set(k.astype(k_pool.dtype))
+    v_pool = v_pool.at[pages, offsets].set(v.astype(v_pool.dtype))
+    # gather this slot's pages and attend
+    page = k_pool.shape[1]
+    mpps = table.shape[1]
+    kg = k_pool[table].reshape(slots, mpps * page, cfg.num_kv_heads, cfg.head_dim)
+    vg = v_pool[table].reshape(slots, mpps * page, cfg.num_kv_heads, cfg.head_dim)
+    rep = cfg.num_heads // cfg.num_kv_heads
+    kg = jnp.repeat(kg, rep, axis=2)
+    vg = jnp.repeat(vg, rep, axis=2)
+    scale = 1.0 / jnp.sqrt(jnp.float32(cfg.head_dim))
     logits = jnp.einsum("shd,sthd->sht", q.astype(jnp.float32),
-                        k.astype(jnp.float32)) * scale
-    t_ids = jnp.arange(k.shape[1])[None, None, :]
+                        kg.astype(jnp.float32)) * scale
+    t_ids = jnp.arange(kg.shape[1])[None, None, :]
     mask = t_ids < lens[:, None, None]
-    logits = jnp.where(mask, logits, -1e30)
-    probs = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum("sht,sthd->shd", probs, v.astype(jnp.float32))
+    probs = jax.nn.softmax(jnp.where(mask, logits, -1e30), axis=-1)
+    attn = jnp.einsum("sht,sthd->shd", probs, vg.astype(jnp.float32))
+    x = x + apply_linear(lp["self_attn"]["o_proj"],
+                         attn.reshape(slots, cfg.q_size).astype(x.dtype))
+    h2 = rms_norm(x, lp["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
+    gate = apply_linear(lp["mlp"]["gate_proj"], h2)
+    up = apply_linear(lp["mlp"]["up_proj"], h2)
+    x = x + apply_linear(lp["mlp"]["down_proj"], jax.nn.silu(gate) * up)
+    return x, k_pool, v_pool
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
@@ -61,6 +99,11 @@ def decode_step(params, cache: PagedKVCache, cfg: ModelConfig,
     table: (slots, mpps) int32; lens: (slots,) lengths *including* the
     token being decoded; tokens: (slots,) current input token; pos:
     (slots,) its position (= lens - 1).  Returns (logits, cache).
+
+    Stacked layer params (see ``stack_layer_params``) run as one
+    ``lax.scan`` over layers — one traced layer body regardless of depth
+    (36× less tracing/compile for Qwen3-8B); a plain per-layer list
+    falls back to a python loop.
     """
     page = cache.page_size
     slots = tokens.shape[0]
@@ -69,31 +112,64 @@ def decode_step(params, cache: PagedKVCache, cfg: ModelConfig,
     pages = table[jnp.arange(slots), pos // page]
     offsets = pos % page
 
-    for li, lp in enumerate(params["model"]["layers"]):
-        h = rms_norm(x, lp["input_layernorm"]["weight"], cfg.rms_norm_eps)
-        q = apply_linear(lp["self_attn"]["q_proj"], h).reshape(
-            slots, cfg.num_heads, cfg.head_dim)
-        k = apply_linear(lp["self_attn"]["k_proj"], h).reshape(
-            slots, cfg.num_kv_heads, cfg.head_dim)
-        v = apply_linear(lp["self_attn"]["v_proj"], h).reshape(
-            slots, cfg.num_kv_heads, cfg.head_dim)
-        if cfg.qk_norm:
-            q = rms_norm(q, lp["self_attn"]["q_norm"]["weight"], cfg.rms_norm_eps)
-            k = rms_norm(k, lp["self_attn"]["k_norm"]["weight"], cfg.rms_norm_eps)
-        q = _rope_at(cos_tab, sin_tab, pos, q)
-        k = _rope_at(cos_tab, sin_tab, pos, k)
-        cache = write_decode(cache, li, pages, offsets, k, v)
-        attn = _paged_attention(q, cache, li, table, lens)
-        x = x + apply_linear(lp["self_attn"]["o_proj"],
-                             attn.reshape(slots, cfg.q_size).astype(x.dtype))
-        h2 = rms_norm(x, lp["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
-        gate = apply_linear(lp["mlp"]["gate_proj"], h2)
-        up = apply_linear(lp["mlp"]["up_proj"], h2)
-        x = x + apply_linear(lp["mlp"]["down_proj"], jax.nn.silu(gate) * up)
+    layers = params["model"]["layers"]
+    if isinstance(layers, list):
+        k_new, v_new = cache.k, cache.v
+        for li, lp in enumerate(layers):
+            x, kl, vl = _decode_layer(lp, cfg, x, k_new[li], v_new[li],
+                                      cos_tab, sin_tab, pos, pages, offsets,
+                                      table, lens)
+            k_new = k_new.at[li].set(kl)
+            v_new = v_new.at[li].set(vl)
+        cache = PagedKVCache(k=k_new, v=v_new)
+    else:
+        def body(x, xs):
+            lp, k_l, v_l = xs
+            x, k_l, v_l = _decode_layer(lp, cfg, x, k_l, v_l, cos_tab,
+                                        sin_tab, pos, pages, offsets, table,
+                                        lens)
+            return x, (k_l, v_l)
+
+        x, (k_new, v_new) = jax.lax.scan(body, x, (layers, cache.k, cache.v))
+        cache = PagedKVCache(k=k_new, v=v_new)
 
     x = apply_final_norm(params, cfg, x[:, None])[:, 0]
     logits = lm_logits(params, cfg, x[:, None])[:, 0]
     return logits, cache
+
+
+def _prefill_layer(lp, cfg: ModelConfig, x, k_pool, v_pool, cos, sin,
+                   slot_pages, attn_impl: str):
+    """One layer of single-prompt prefill against its KV pool slice."""
+    from tgq.models.causal_lm import apply_rope, causal_attention
+
+    b, seq, _ = x.shape
+    page = k_pool.shape[1]
+    h = rms_norm(x, lp["input_layernorm"]["weight"], cfg.rms_norm_eps)
+    q = apply_linear(lp["self_attn"]["q_proj"], h).reshape(
+        b, seq, cfg.num_heads, cfg.head_dim)
+    k = apply_linear(lp["self_attn"]["k_proj"], h).reshape(
+        b, seq, cfg.num_kv_heads, cfg.head_dim)
+    v = apply_linear(lp["self_attn"]["v_proj"], h).reshape(
+        b, seq, cfg.num_kv_heads, cfg.head_dim)
+    if cfg.qk_norm:
+        q = rms_norm(q, lp["self_attn"]["q_norm"]["weight"], cfg.rms_norm_eps)
+        k = rms_norm(k, lp["self_attn"]["k_norm"]["weight"], cfg.rms_norm_eps)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    n_pages = slot_pages.shape[0]
+    kp = k[0].reshape(n_pages, page, cfg.num_kv_heads, cfg.head_dim)
+    vp = v[0].reshape(n_pages, page, cfg.num_kv_heads, cfg.head_dim)
+    k_pool = k_pool.at[slot_pages].set(kp.astype(k_pool.dtype))
+    v_pool = v_pool.at[slot_pages].set(vp.astype(v_pool.dtype))
+    attn = causal_attention(q, k, v, impl=attn_impl)
+    x = x + apply_linear(lp["self_attn"]["o_proj"],
+                         attn.reshape(b, seq, cfg.q_size).astype(x.dtype))
+    h2 = rms_norm(x, lp["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
+    gate = apply_linear(lp["mlp"]["gate_proj"], h2)
+    up = apply_linear(lp["mlp"]["up_proj"], h2)
+    x = x + apply_linear(lp["mlp"]["down_proj"], jax.nn.silu(gate) * up)
+    return x, k_pool, v_pool
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
@@ -102,35 +178,32 @@ def prefill(params, cache: PagedKVCache, cfg: ModelConfig,
     """Process one prompt (padded to a page multiple) and fill its pages.
 
     slot_pages: (n_pages,) physical pages; input_ids: (1, seq_pad);
-    true_len: scalar — returns (last-token logits, cache).
+    true_len: scalar — returns (last-token logits, cache).  Stacked
+    layer params run as one lax.scan (see decode_step).
     """
     seq = input_ids.shape[1]
     x = embed_tokens(params, input_ids)
     cos, sin = rope_cache(cfg, seq)
-    b = 1
-    for li, lp in enumerate(params["model"]["layers"]):
-        h = rms_norm(x, lp["input_layernorm"]["weight"], cfg.rms_norm_eps)
-        q = apply_linear(lp["self_attn"]["q_proj"], h).reshape(
-            b, seq, cfg.num_heads, cfg.head_dim)
-        k = apply_linear(lp["self_attn"]["k_proj"], h).reshape(
-            b, seq, cfg.num_kv_heads, cfg.head_dim)
-        v = apply_linear(lp["self_attn"]["v_proj"], h).reshape(
-            b, seq, cfg.num_kv_heads, cfg.head_dim)
-        if cfg.qk_norm:
-            q = rms_norm(q, lp["self_attn"]["q_norm"]["weight"], cfg.rms_norm_eps)
-            k = rms_norm(k, lp["self_attn"]["k_norm"]["weight"], cfg.rms_norm_eps)
-        from tgq.models.causal_lm import apply_rope, causal_attention
+    attn_impl = "naive" if seq < 512 else "auto"
 
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
-        cache = write_prefill(cache, li, slot_pages, k[0], v[0])
-        attn = causal_attention(q, k, v, impl="naive" if seq < 512 else "auto")
-        x = x + apply_linear(lp["self_attn"]["o_proj"],
-                             attn.reshape(b, seq, cfg.q_size).astype(x.dtype))
-        h2 = rms_norm(x, lp["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
-        gate = apply_linear(lp["mlp"]["gate_proj"], h2)
-        up = apply_linear(lp["mlp"]["up_proj"], h2)
-        x = x + apply_linear(lp["mlp"]["down_proj"], jax.nn.silu(gate) * up)
+    layers = params["model"]["layers"]
+    if isinstance(layers, list):
+        k_new, v_new = cache.k, cache.v
+        for li, lp in enumerate(layers):
+            x, kl, vl = _prefill_layer(lp, cfg, x, k_new[li], v_new[li],
+                                       cos, sin, slot_pages, attn_impl)
+            k_new = k_new.at[li].set(kl)
+            v_new = v_new.at[li].set(vl)
+        cache = PagedKVCache(k=k_new, v=v_new)
+    else:
+        def body(x, xs):
+            lp, k_l, v_l = xs
+            x, k_l, v_l = _prefill_layer(lp, cfg, x, k_l, v_l, cos, sin,
+                                         slot_pages, attn_impl)
+            return x, (k_l, v_l)
+
+        x, (k_new, v_new) = jax.lax.scan(body, x, (layers, cache.k, cache.v))
+        cache = PagedKVCache(k=k_new, v=v_new)
 
     x = apply_final_norm(params, cfg, x)
     last = x[0, true_len - 1][None, None]

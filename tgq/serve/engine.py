@@ -56,13 +56,20 @@ class Request:
 
 
 class Engine:
-    def __init__(self, params, cfg: ModelConfig, scfg: ServeConfig, mesh=None):
+    def __init__(self, params, cfg: ModelConfig, scfg: ServeConfig, mesh=None,
+                 stack_layers: bool = True):
         """``mesh``: optional ("data","model") Mesh — params are TP-sharded
         per tgq.parallel rules and the KV page pools shard on the kv-head
-        axis, so the same engine serves single-chip or a whole slice."""
+        axis, so the same engine serves single-chip or a whole slice.
+        ``stack_layers``: scan-friendly stacked layer params (one traced
+        decode layer regardless of depth)."""
         self.cfg = cfg
         self.scfg = scfg
         self.mesh = mesh
+        if stack_layers:
+            from tgq.serve.decode import stack_layer_params
+
+            params = stack_layer_params(params)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
