@@ -88,3 +88,23 @@ def test_packed_export_matches_written_weights(setup):
     w_packed = np.asarray(pl.dequantize())
     # bf16 write-back is the only difference
     assert np.abs(w_written - w_packed).max() < 0.01
+
+
+def test_llama_family_pipeline():
+    """The Llama-style decoder (no qk-norm) runs the full pipeline."""
+    import copy
+
+    cfg = PRESETS["tiny-llama"]
+    params = init_params(cfg, jax.random.key(7))
+    calib = synthetic_calibration(cfg.vocab_size, 4, 32, seed=11)
+    qcfg = QuantizeConfig(mode="pchol", w_bits=4, group_size=32,
+                          batch_size=2, block_size=32, attn_impl="naive",
+                          eps=1e-8)
+    p, packed, log = quantize_model(copy.deepcopy(params), cfg, calib, qcfg)
+    assert len(packed) == cfg.num_layers * 7
+    eval_ids = synthetic_eval_stream(cfg.vocab_size, 1024, seed=12)
+    base = perplexity_from_token_stream(params, cfg, eval_ids, max_length=64,
+                                        stride=32, attn_impl="naive")
+    ppl = perplexity_from_token_stream(p, cfg, eval_ids, max_length=64,
+                                       stride=32, attn_impl="naive")
+    assert np.isfinite(ppl) and ppl < base * 1.2
