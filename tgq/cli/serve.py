@@ -87,12 +87,29 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--profile_dir", default=None,
                     help="write a jax.profiler trace here")
+    ap.add_argument("--mesh_model", type=int, default=0,
+                    help="TP degree; 0 = single device. With --distributed, "
+                         "the mesh spans all hosts (model axis intra-host)")
+    ap.add_argument("--mesh_data", type=int, default=1,
+                    help="data-parallel degree of the serving mesh")
+    ap.add_argument("--distributed", action="store_true",
+                    help="jax.distributed.initialize() for multi-host")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
     import jax
 
     from tgq.serve import Engine, ServeConfig
+
+    mesh = None
+    if args.distributed:
+        from tgq.parallel.launch import init_distributed
+
+        init_distributed()
+    if args.mesh_model:
+        from tgq.parallel import make_mesh
+
+        mesh = make_mesh(data=args.mesh_data, model=args.mesh_model)
 
     params, cfg = load_or_make_model(args)
     max_pages_per_slot = -(-(args.prompt_len + args.gen_tokens + args.page_size)
@@ -103,7 +120,7 @@ def main(argv=None) -> int:
         max_new_tokens=args.gen_tokens, temperature=args.temperature,
         seed=args.seed,
     )
-    eng = Engine(params, cfg, scfg)
+    eng = Engine(params, cfg, scfg, mesh=mesh)
 
     rng = np.random.default_rng(args.seed)
     prompts = [rng.integers(0, cfg.vocab_size, size=args.prompt_len).tolist()

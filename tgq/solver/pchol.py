@@ -9,10 +9,10 @@ identities:
 
 1. The reference's "energy" truncation keeps the smallest eigenbasis
    prefix capturing (1-ε) of Σλ — a **trace fraction** (its ``energy``
-   variable is S² = λ).  Greedy pivoted Cholesky consumes exactly the
-   conditional variances d_k with Σd_k = tr(H), so "stop when the
-   cumulative picked trace reaches (1-ε)·tr(H)" is the same criterion on
-   the same quantity.
+   variable is S² = λ).  Greedy pivoted Cholesky decomposes the trace
+   exactly the same way: step k removes ‖l_k‖² from tr(Schur complement)
+   (the eigh analog is λ_k), so "stop when the cumulative captured trace
+   reaches (1-ε)·tr(H)" is the same criterion on the same quantity.
 2. The Businger–Golub pivots of a pivoted QR of any S with SᵀS = H are
    *identical* to the diagonal pivots of pivoted Cholesky of H (the QR
    residual column norms² are the Cholesky Schur-complement diagonal).
