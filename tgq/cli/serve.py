@@ -82,7 +82,9 @@ def main(argv=None) -> int:
     ap.add_argument("--gen_tokens", type=int, default=64)
     ap.add_argument("--max_slots", type=int, default=8)
     ap.add_argument("--page_size", type=int, default=64)
-    ap.add_argument("--num_pages", type=int, default=1024)
+    ap.add_argument("--num_pages", type=int, default=0,
+                    help="KV page pool size; 0 = auto "
+                         "(max_slots * pages-per-request + scratch)")
     ap.add_argument("--temperature", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--profile_dir", default=None,
@@ -114,6 +116,11 @@ def main(argv=None) -> int:
     params, cfg = load_or_make_model(args)
     max_pages_per_slot = -(-(args.prompt_len + args.gen_tokens + args.page_size)
                            // args.page_size)
+    if not args.num_pages:
+        # page 0 is the reserved scratch page; size the pool to exactly
+        # what max_slots concurrent worst-case requests can touch (the
+        # KV pool is the dominant non-weight HBM consumer at 8B scale)
+        args.num_pages = args.max_slots * max_pages_per_slot + 1
     scfg = ServeConfig(
         max_slots=args.max_slots, page_size=args.page_size,
         num_pages=args.num_pages, max_pages_per_slot=max_pages_per_slot,

@@ -91,9 +91,8 @@ def _decode_layer(lp, cfg: ModelConfig, x, k_pool, v_pool, cos_tab, sin_tab,
     return x, k_pool, v_pool
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
-def decode_step(params, cache: PagedKVCache, cfg: ModelConfig,
-                table, lens, tokens, pos):
+def _decode_core(params, cache: PagedKVCache, cfg: ModelConfig,
+                 table, lens, tokens, pos):
     """One token for every slot.
 
     table: (slots, mpps) int32; lens: (slots,) lengths *including* the
@@ -136,6 +135,48 @@ def decode_step(params, cache: PagedKVCache, cfg: ModelConfig,
     x = apply_final_norm(params, cfg, x[:, None])[:, 0]
     logits = lm_logits(params, cfg, x[:, None])[:, 0]
     return logits, cache
+
+
+decode_step = partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))(
+    _decode_core)
+
+
+def _sample_tokens(logits, temps, key):
+    """Per-slot greedy/temperature sampling on device.  logits: (slots,
+    vocab); temps: (slots,) with 0 = greedy.  Returns (tokens, key)."""
+    key, sub = jax.random.split(key)
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    safe_t = jnp.maximum(temps, 1e-6)[:, None]
+    sampled = jax.random.categorical(
+        sub, logits.astype(jnp.float32) / safe_t, axis=-1).astype(jnp.int32)
+    return jnp.where(temps > 0, sampled, greedy), key
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps"), donate_argnums=(1,))
+def decode_steps(params, cache: PagedKVCache, cfg: ModelConfig,
+                 table, lens, tokens, pos, temps, key, n_steps: int):
+    """``n_steps`` tokens for every slot with zero host round-trips.
+
+    The per-step host sync (sampled-token D2H + full-logits transfer)
+    dominates decode latency on a remote-attached chip, so the engine
+    batches ``n_steps`` decode iterations into one dispatch: sampling
+    runs on device (`_sample_tokens`) and only the (n_steps, slots)
+    int32 token block crosses to the host.  The page table must already
+    cover ``lens + n_steps`` tokens per slot (the engine pre-extends).
+
+    lens/pos are the step-0 values under decode_step's convention (lens
+    includes the token being decoded; pos = lens - 1); both advance by 1
+    each scanned step.  Returns (tokens (n_steps, slots), cache, key).
+    """
+    def step(carry, _):
+        cache, tok, lens, pos, key = carry
+        logits, cache = _decode_core(params, cache, cfg, table, lens, tok, pos)
+        tok, key = _sample_tokens(logits, temps, key)
+        return (cache, tok, lens + 1, pos + 1, key), tok
+
+    (cache, _, _, _, key), toks = jax.lax.scan(
+        step, (cache, tokens, lens, pos, key), None, length=n_steps)
+    return toks, cache, key
 
 
 def _prefill_layer(lp, cfg: ModelConfig, x, k_pool, v_pool, cos, sin,

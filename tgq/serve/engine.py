@@ -3,7 +3,9 @@
 The scheduler keeps a fixed set of decode slots; requests are admitted
 into free slots whenever the page pool can hold their prompt (prefill
 runs immediately, padded to a page multiple), and every engine tick
-decodes one token for *all* active slots in a single jitted step.
+decodes up to ``decode_chunk`` tokens for *all* active slots in a
+single jitted dispatch with on-device sampling — the host syncs once
+per chunk, not per token (critical when the chip is remote-attached).
 Finished requests free their pages on the spot — admission and
 completion interleave freely, no generation-length batching.
 
@@ -24,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tgq.models.config import ModelConfig
-from tgq.serve.decode import decode_step, prefill
+from tgq.serve.decode import decode_steps, prefill
 from tgq.serve.kv_cache import PagedKVCache, PageTable
 
 logger = logging.getLogger(__name__)
@@ -40,6 +42,10 @@ class ServeConfig:
     eos_id: Optional[int] = None
     temperature: float = 0.0  # 0 = greedy
     seed: int = 0
+    # max decode steps fused into one device dispatch (host syncs once
+    # per chunk; sampling runs on device).  Rounded down to a power of
+    # two per tick so at most log2(chunk)+1 step counts ever compile.
+    decode_chunk: int = 8
 
 
 @dataclasses.dataclass
@@ -166,32 +172,63 @@ class Engine:
         self.pt.free_slot(s)
         self.slots[s] = None
 
+    def _chunk_steps(self, active: list[int], lens0: np.ndarray) -> int:
+        """Decode steps to fuse this tick: bounded by every active
+        slot's remaining budget (so no slot overshoots max_new_tokens),
+        by free pages, and rounded down to a power of two."""
+        n = self.scfg.decode_chunk
+        cap = self.scfg.max_pages_per_slot * self.scfg.page_size
+        for s in active:
+            req = self.slots[s]
+            n = min(n, req.max_new_tokens - len(req.output),
+                    cap - int(lens0[s]))
+        n = max(n, 1)
+        while n > 1:
+            extra = sum(
+                self.pt.pages_needed(int(lens0[s]) + n)
+                - self.pt.pages_needed(int(lens0[s]))
+                for s in active)
+            if extra <= self.pt.num_free:
+                break
+            n //= 2
+        return 1 << (n.bit_length() - 1)
+
     def _decode_tick(self) -> list[Request]:
         active = [s for s in range(self.scfg.max_slots) if self.slots[s]]
         if not active:
             return []
-        # extend lengths by 1 for the token being decoded this tick
+        lens0 = np.asarray(self.pt.lens, np.int32)
+        n = self._chunk_steps(active, lens0)
         for s in active:
-            self.pt.extend(s, 1)
-        table, lens = self.pt.device_tables()
+            self.pt.extend(s, n)
+        table, _ = self.pt.device_tables()
         tokens = np.zeros((self.scfg.max_slots,), np.int32)
+        temps = np.zeros((self.scfg.max_slots,), np.float32)
         for s in active:
-            tokens[s] = self.slots[s].output[-1]
-        pos = np.maximum(np.asarray(self.pt.lens, np.int32) - 1, 0)
-        logits, self.cache = decode_step(
-            self.params, self.cache, self.cfg, table, lens,
-            jnp.asarray(tokens), jnp.asarray(pos),
+            req = self.slots[s]
+            tokens[s] = req.output[-1]
+            temps[s] = (req.temperature if req.temperature is not None
+                        else self.scfg.temperature)
+        # decode_step convention at step 0: lens includes the token
+        # being decoded, pos = lens - 1
+        toks, self.cache, self.key = decode_steps(
+            self.params, self.cache, self.cfg, table,
+            jnp.asarray(lens0 + 1), jnp.asarray(tokens),
+            jnp.asarray(lens0), jnp.asarray(temps), self.key, n,
         )
-        logits = np.asarray(logits)
-        self.steps += 1
+        toks = np.asarray(toks)  # (n, slots) — the only D2H this tick
+        self.steps += n
         finished = []
         for s in active:
             req = self.slots[s]
-            temp = req.temperature if req.temperature is not None else self.scfg.temperature
-            tok = self._sample(jnp.asarray(logits[s]), temp)
-            req.output.append(tok)
-            self.tokens_emitted += 1
-            if self._finished(req, tok):
-                self._retire(s)
-                finished.append(req)
+            for i in range(n):
+                tok = int(toks[i, s])
+                req.output.append(tok)
+                self.tokens_emitted += 1
+                if self._finished(req, tok):
+                    # tokens past EOS were speculative garbage; the
+                    # unused tail of the chunk's pages frees with the slot
+                    self._retire(s)
+                    finished.append(req)
+                    break
         return finished
