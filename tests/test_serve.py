@@ -111,6 +111,38 @@ def test_page_allocator_backends_equivalent(rng):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
 
 
+def test_chunked_decode_matches_stepwise(params):
+    """Greedy outputs are bit-identical whether the engine fuses 1 or 8
+    decode steps per dispatch (decode_steps scan vs per-token path)."""
+    prompt = [5, 17, 42, 100, 7]
+    outs = []
+    for chunk in (1, 8):
+        scfg = ServeConfig(max_slots=2, page_size=8, num_pages=64,
+                           max_pages_per_slot=8, max_new_tokens=11,
+                           decode_chunk=chunk)
+        eng = Engine(params, CFG, scfg)
+        req = eng.submit(prompt)
+        eng.run()
+        outs.append(req.output)
+    assert outs[0] == outs[1], outs
+    assert outs[0] == greedy_reference(params, prompt, 11)
+
+
+def test_eos_mid_chunk_truncates(params):
+    """An EOS landing inside a fused chunk must end the request there —
+    speculative tokens after it are discarded."""
+    prompt = [3, 1, 4]
+    ref = greedy_reference(params, prompt, 8)
+    eos = ref[3]  # hits at step 4 of an 8-step chunk
+    scfg = ServeConfig(max_slots=1, page_size=8, num_pages=32,
+                       max_pages_per_slot=8, max_new_tokens=8,
+                       eos_id=eos, decode_chunk=8)
+    eng = Engine(params, CFG, scfg)
+    req = eng.submit(prompt)
+    eng.run()
+    assert req.output == ref[:4], (req.output, ref)
+
+
 def test_eos_stopping(params):
     # find the greedy first token and use it as "eos"
     prompt = [3, 1, 4]
