@@ -86,6 +86,8 @@ def main(argv=None) -> int:
                     help="KV page pool size; 0 = auto "
                          "(max_slots * pages-per-request + scratch)")
     ap.add_argument("--temperature", type=float, default=0.0)
+    ap.add_argument("--decode_chunk", type=int, default=8,
+                    help="decode steps fused per device dispatch")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--profile_dir", default=None,
                     help="write a jax.profiler trace here")
@@ -125,7 +127,7 @@ def main(argv=None) -> int:
         max_slots=args.max_slots, page_size=args.page_size,
         num_pages=args.num_pages, max_pages_per_slot=max_pages_per_slot,
         max_new_tokens=args.gen_tokens, temperature=args.temperature,
-        seed=args.seed,
+        seed=args.seed, decode_chunk=args.decode_chunk,
     )
     eng = Engine(params, cfg, scfg, mesh=mesh)
 

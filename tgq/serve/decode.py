@@ -73,15 +73,17 @@ def _decode_layer(lp, cfg: ModelConfig, x, k_pool, v_pool, cos_tab, sin_tab,
     kg = k_pool[table].reshape(slots, mpps * page, cfg.num_kv_heads, cfg.head_dim)
     vg = v_pool[table].reshape(slots, mpps * page, cfg.num_kv_heads, cfg.head_dim)
     rep = cfg.num_heads // cfg.num_kv_heads
-    kg = jnp.repeat(kg, rep, axis=2)
-    vg = jnp.repeat(vg, rep, axis=2)
+    # grouped-query attention without materializing repeated K/V: fold
+    # the query heads sharing a KV head into a group axis g
+    qg = q.reshape(slots, cfg.num_kv_heads, rep, cfg.head_dim)
     scale = 1.0 / jnp.sqrt(jnp.float32(cfg.head_dim))
-    logits = jnp.einsum("shd,sthd->sht", q.astype(jnp.float32),
+    logits = jnp.einsum("skgd,stkd->skgt", qg.astype(jnp.float32),
                         kg.astype(jnp.float32)) * scale
-    t_ids = jnp.arange(kg.shape[1])[None, None, :]
-    mask = t_ids < lens[:, None, None]
+    t_ids = jnp.arange(kg.shape[1])[None, None, None, :]
+    mask = t_ids < lens[:, None, None, None]
     probs = jax.nn.softmax(jnp.where(mask, logits, -1e30), axis=-1)
-    attn = jnp.einsum("sht,sthd->shd", probs, vg.astype(jnp.float32))
+    attn = jnp.einsum("skgt,stkd->skgd", probs, vg.astype(jnp.float32)
+                      ).reshape(slots, cfg.num_heads, cfg.head_dim)
     x = x + apply_linear(lp["self_attn"]["o_proj"],
                          attn.reshape(slots, cfg.q_size).astype(x.dtype))
     h2 = rms_norm(x, lp["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
