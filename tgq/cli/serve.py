@@ -138,6 +138,8 @@ def main(argv=None) -> int:
     # warm-up: one request compiles prefill + decode
     eng.submit(prompts[0][: args.prompt_len])
     eng.run()
+    eng.decode_wall_s = eng.prefill_wall_s = 0.0
+    eng.steps = eng.tokens_emitted = 0
 
     reqs = [eng.submit(p) for p in prompts]
     if args.profile_dir:
@@ -156,6 +158,10 @@ def main(argv=None) -> int:
         "unit": "tok/s",
         "total_tokens": total_tokens,
         "wall_s": round(wall, 2),
+        "decode_wall_s": round(eng.decode_wall_s, 2),
+        "prefill_wall_s": round(eng.prefill_wall_s, 2),
+        "decode_only_tok_s": round(
+            (total_tokens - len(reqs)) / max(eng.decode_wall_s, 1e-9), 2),
         "ttft_p50_s": round(float(np.percentile(ttft, 50)), 3),
         "config": {
             "model": cfg.name, "w_bits": args.w_bits,

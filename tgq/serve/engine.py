@@ -99,6 +99,8 @@ class Engine:
         self._next_rid = 0
         self.steps = 0
         self.tokens_emitted = 0
+        self.decode_wall_s = 0.0   # time in decode dispatch + token D2H
+        self.prefill_wall_s = 0.0  # time in prefill dispatch + sampling
 
     # ------------------------------------------------------------- API
 
@@ -143,6 +145,7 @@ class Engine:
             if not self.pt.can_alloc(n_prompt + 1):
                 break
             self.queue.popleft()
+            t0 = time.time()
             pad = -(-n_prompt // page) * page
             pages = jnp.asarray(self.pt.alloc_slot(s, n_prompt), jnp.int32)
             ids = np.zeros((1, pad), np.int32)
@@ -155,6 +158,7 @@ class Engine:
             tok = self._sample(logits, temp)
             req.output.append(tok)
             req.first_token_t = time.time()
+            self.prefill_wall_s += req.first_token_t - t0
             self.tokens_emitted += 1
             self.slots[s] = req
             if self._finished(req, tok):
@@ -211,12 +215,14 @@ class Engine:
                         else self.scfg.temperature)
         # decode_step convention at step 0: lens includes the token
         # being decoded, pos = lens - 1
+        t0 = time.time()
         toks, self.cache, self.key = decode_steps(
             self.params, self.cache, self.cfg, table,
             jnp.asarray(lens0 + 1), jnp.asarray(tokens),
             jnp.asarray(lens0), jnp.asarray(temps), self.key, n,
         )
         toks = np.asarray(toks)  # (n, slots) — the only D2H this tick
+        self.decode_wall_s += time.time() - t0
         self.steps += n
         finished = []
         for s in active:
