@@ -29,6 +29,20 @@ def load_or_make_model(args):
         params, cfg, _ = load_quantized(args.checkpoint)
         return params, cfg
 
+    from tgq.models.config import PRESETS
+
+    if args.model_id in PRESETS and args.w_bits < 16 \
+            and not PRESETS[args.model_id].attention_bias:
+        # synthetic benchmark fast path: generate + RTN-pack each linear
+        # on device — no host RNG, no dense transfer
+        from tgq.core.quant import QuantSpec
+        from tgq.models.hf_import import init_packed_params
+
+        cfg = PRESETS[args.model_id]
+        spec = QuantSpec(bits=args.w_bits, group_size=args.group_size,
+                         sym=False)
+        return init_packed_params(cfg, spec, seed=0), cfg
+
     # stage params host-side when a CPU backend is available so a large
     # model never materializes dense on the accelerator
     try:

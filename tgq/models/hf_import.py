@@ -11,6 +11,7 @@ from __future__ import annotations
 import json
 import logging
 import os
+from functools import partial
 from typing import Optional
 
 import numpy as np
@@ -155,6 +156,86 @@ def init_params_host(cfg: ModelConfig, seed: int = 0):
     }
     if not cfg.tie_word_embeddings:
         params["lm_head"] = dense(cfg.vocab_size, cfg.hidden_size, scale=0.02)
+    return params
+
+
+def init_packed_params(cfg: ModelConfig, spec, seed: int = 0):
+    """Random-init a preset directly as packed-INT weights (RTN), with
+    generation *and* packing jitted on the default device.
+
+    For serving benchmarks of big presets this replaces host RNG (tens
+    of GB through a 2-core host) and the dense host→device transfer: per
+    linear, only the packed codes (bits/8 bytes per weight) ever exist
+    outside the jit.  Content-equivalent to init_params + on-the-fly RTN
+    pack of the same spec (same RTN grid), not bit-identical to the host
+    path (different RNG streams).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tgq.core.packing import PackedLinear
+    from tgq.core.quant import expand_params, find_params, quantize
+    from tgq.models.causal_lm import set_nested
+
+    @partial(jax.jit, static_argnames=("out_f", "in_f"))
+    def packed_dense(key, out_f, in_f):
+        w = jax.random.normal(key, (out_f, in_f), jnp.float32) * (
+            1.0 / float(np.sqrt(in_f)))
+        p = find_params(w, spec)
+        s, z = expand_params(p, in_f)
+        q = quantize(w, s, z, spec).astype(jnp.int32)
+        return PackedLinear.from_codes(q, p.scale, p.zero, spec)
+
+    @partial(jax.jit, static_argnames=("out_f", "in_f", "scale"))
+    def dense(key, out_f, in_f, scale):
+        return jax.random.normal(key, (out_f, in_f), jnp.bfloat16
+                                 ) * jnp.bfloat16(scale)
+
+    root = jax.random.key(seed)
+    ones = lambda n: jnp.ones((n,), jnp.bfloat16)  # noqa: E731
+    layers = []
+    kidx = 0
+    for _ in range(cfg.num_layers):
+        lp = {
+            "input_layernorm": {"weight": ones(cfg.hidden_size)},
+            "post_attention_layernorm": {"weight": ones(cfg.hidden_size)},
+            "self_attn": {}, "mlp": {},
+        }
+        shapes = {
+            "self_attn.q_proj": (cfg.q_size, cfg.hidden_size),
+            "self_attn.k_proj": (cfg.kv_size, cfg.hidden_size),
+            "self_attn.v_proj": (cfg.kv_size, cfg.hidden_size),
+            "self_attn.o_proj": (cfg.hidden_size, cfg.q_size),
+            "mlp.gate_proj": (cfg.intermediate_size, cfg.hidden_size),
+            "mlp.up_proj": (cfg.intermediate_size, cfg.hidden_size),
+            "mlp.down_proj": (cfg.hidden_size, cfg.intermediate_size),
+        }
+        for name, (out_f, in_f) in shapes.items():
+            kidx += 1
+            set_nested(lp, name,
+                       packed_dense(jax.random.fold_in(root, kidx), out_f, in_f))
+        if cfg.attention_bias:
+            raise NotImplementedError(
+                "packed random init with attention bias: use init_params + "
+                "on-the-fly packing")
+        if cfg.qk_norm:
+            lp["self_attn"]["q_norm"] = {"weight": ones(cfg.head_dim)}
+            lp["self_attn"]["k_norm"] = {"weight": ones(cfg.head_dim)}
+        layers.append(lp)
+    kidx += 1
+    params = {
+        "model": {
+            "embed_tokens": {"weight": dense(jax.random.fold_in(root, kidx),
+                                             cfg.vocab_size, cfg.hidden_size,
+                                             0.02)},
+            "layers": layers,
+            "norm": {"weight": ones(cfg.hidden_size)},
+        }
+    }
+    if not cfg.tie_word_embeddings:
+        kidx += 1
+        params["lm_head"] = {"w": dense(jax.random.fold_in(root, kidx),
+                                        cfg.vocab_size, cfg.hidden_size, 0.02)}
     return params
 
 
