@@ -38,17 +38,9 @@ def main() -> None:
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
-    from tgq.calib.pipeline import (
-        QuantizeConfig,
-        _factorize,
-        _group_input,
-        _layer_forward,
-        get_adaptive_eps,
-    )
+    from tgq.calib.pipeline import QuantizeConfig, quantize_layer
     from tgq.models import PRESETS, init_params, rope_cache
-    from tgq.models.causal_lm import get_nested, sequenced_groups, set_nested
-    from tgq.solver.gptq_loop import quantize_weight
-    from tgq.solver.hessian import HessianAccumulator
+    from tgq.models.causal_lm import sequenced_groups
 
     cfg = PRESETS["qwen3-8b"]
     qcfg = QuantizeConfig(mode=args.mode, w_bits=args.w_bits, group_size=128,
@@ -71,50 +63,16 @@ def main() -> None:
     spec = qcfg.spec
 
     def run_layer(lp, timers=None):
-        """The per-layer quantization flow (mirrors tgq.calib.pipeline)."""
-        from tgq.calib.pipeline import _group_in_features
+        """The per-layer quantization flow — the real pipeline path."""
         from tgq.utils.profiling import PhaseTimers
 
         timers = timers or PhaseTimers()
-
-        def synced(x):
-            # remote tunnels report ready before execution finishes; a
-            # tiny host transfer forces true completion for phase timing
-            _ = np.asarray(jax.tree.leaves(x)[0].ravel()[:1])
-            return x
-
         t0 = time.time()
-        for gi, group_names in enumerate(groups):
-            in_f = _group_in_features(cfg, gi)
-            with timers.phase(f"accumulate_g{gi}"):
-                acc = HessianAccumulator.init(in_f)
-                for j in range(0, n, bs):
-                    a = _group_input(lp, cfg, gi, inps[j : j + bs], cos, sin,
-                                     attn_impl=attn_impl)
-                    acc = acc.update(a)
-                h = synced(acc.finalize())
-            del acc
-            with timers.phase(f"factorize_g{gi}"):
-                stats = _factorize(h, qcfg, qcfg.eps)
-                synced(stats.r_full)
-            del h
-            for name in group_names:
-                w = get_nested(lp, name)["w"].astype(jnp.float32)
-                with timers.phase("quantize"):
-                    res = quantize_weight(w, stats, spec,
-                                          block_size=qcfg.block_size,
-                                          backend=qcfg.kernel_backend,
-                                          with_error=False)
-                    synced(res.codes)
-                set_nested(lp, name, {"w": res.w_q.astype(jnp.bfloat16)})
-            del stats
-        with timers.phase("reforward"):
-            outs = [
-                _layer_forward(lp, cfg, inps[j : j + bs], cos, sin,
-                               attn_impl=attn_impl)
-                for j in range(0, n, bs)
-            ]
-            _ = np.asarray(outs[-1][:1, :1, :8])
+        lp, outs, _, _ = quantize_layer(lp, cfg, inps, cos, sin, qcfg,
+                                        timers=timers)
+        # remote tunnels report ready before execution finishes; a
+        # host transfer forces true completion for honest timing
+        _ = np.asarray(outs[-1][:1, :1, :8])
         return time.time() - t0, timers
 
     lp_dev = jax.device_put(lp)

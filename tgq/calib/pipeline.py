@@ -121,6 +121,47 @@ def _layer_forward(lp, cfg: ModelConfig, x, cos, sin, attn_impl="auto"):
     return decoder_layer(lp, cfg, x, cos, sin, attn_impl=attn_impl)
 
 
+# Staged single-pass forwards: each stage of the decoder layer is
+# computed once per calibration batch and its output reused as the next
+# group's input AND the next stage's operand, instead of re-running the
+# layer prefix for every group the way the reference's hook captures do
+# (quantize.py:139-146).  The staged values also make the final
+# re-forward a single down_proj matmul from (x2, h2) — no full layer
+# recompute (quantize.py:238-248).
+
+
+@partial(jax.jit, static_argnames=("cfg", "attn_impl"))
+def _stage_attn(lp, cfg: ModelConfig, x, cos, sin, attn_impl="auto"):
+    """Attention output (group 1's input), with group-0-quantized q/k/v."""
+    return attn_core(lp, cfg, attn_input(lp, cfg, x), cos, sin,
+                     attn_impl=attn_impl)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _stage_resid_mlp_in(lp, cfg: ModelConfig, x, attn):
+    """(x2, h2): post-attention residual and normed MLP input (group 2's
+    input), with group-1-quantized o_proj."""
+    from tgq.models.causal_lm import apply_linear
+
+    x2 = x + apply_linear(lp["self_attn"]["o_proj"], attn)
+    return x2, mlp_input(lp, cfg, x2)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _stage_act(lp, cfg: ModelConfig, h2):
+    """silu(gate)·up (group 3's input), with group-2-quantized gate/up."""
+    return mlp_act(lp, cfg, h2)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _stage_out(lp, cfg: ModelConfig, x2, h2):
+    """Quantized-layer output from the staged (x2, h2) — recomputes only
+    the MLP tail with the fully quantized weights."""
+    from tgq.models.causal_lm import apply_linear
+
+    return x2 + apply_linear(lp["mlp"]["down_proj"], mlp_act(lp, cfg, h2))
+
+
 def _factorize(h_or_y, qcfg: QuantizeConfig, eps: float) -> FactorResult:
     if qcfg.mode == "eigh":
         return trunc_spectral_factor(
@@ -302,6 +343,135 @@ def spectral_consistency_check(
     return records
 
 
+def quantize_layer(
+    lp: Params,
+    cfg: ModelConfig,
+    inps: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    qcfg: QuantizeConfig,
+    timers=None,
+    name_prefix: str = "",
+):
+    """Quantize one decoder layer's four sequential groups.
+
+    Single-pass staged activations: attn (once, after q/k/v quantize),
+    then (x2, h2) (once, after o quantize), then act batches on demand —
+    and the layer's quantized outputs come from the staged (x2, h2) plus
+    the quantized MLP tail.  The reference recomputes the layer prefix
+    per group and re-forwards the whole layer at the end
+    (quantize.py:139-146,238-248) — ~2.3× the forward FLOPs of this.
+
+    Returns (lp, outs, module_stats, packed) where outs are the
+    quantized-layer outputs for every calibration batch (the next
+    layer's inputs), module_stats is the reference layer_stats schema,
+    and packed maps module path → PackedLinear (empty unless qcfg.pack).
+    """
+    from tgq.utils.profiling import PhaseTimers
+
+    timers = timers or PhaseTimers()
+    n_samples = inps.shape[0]
+    bs = qcfg.batch_size
+    spec = qcfg.spec
+    idx = list(range(0, n_samples, bs))
+    groups = sequenced_groups(cfg)
+    staged = qcfg.mode != "rtn"  # rtn needs no activations at all
+    attn_l = x2_l = h2_l = None
+    module_stats: list[dict[str, Any]] = []
+    packed: dict[str, PackedLinear] = {}
+
+    for gi, group_names in enumerate(groups):
+        eps = (get_adaptive_eps(group_names[0], qcfg.eps)
+               if qcfg.adaptive_eps else qcfg.eps)
+        in_f = _group_in_features(cfg, gi)
+
+        if staged and gi == 1:
+            with timers.phase("stage_fwd"):
+                attn_l = [_stage_attn(lp, cfg, inps[j : j + bs], cos, sin,
+                                      attn_impl=qcfg.attn_impl) for j in idx]
+        elif staged and gi == 2:
+            with timers.phase("stage_fwd"):
+                x2_l, h2_l = [], []
+                for jj, j in enumerate(idx):
+                    x2, h2 = _stage_resid_mlp_in(lp, cfg, inps[j : j + bs],
+                                                 attn_l[jj])
+                    x2_l.append(x2)
+                    h2_l.append(h2)
+                attn_l = None  # freed — superseded by (x2, h2)
+
+        def group_act(jj: int, j: int):
+            if gi == 0:
+                return _group_input(lp, cfg, 0, inps[j : j + bs], cos, sin,
+                                    attn_impl=qcfg.attn_impl)
+            if gi == 1:
+                return attn_l[jj]
+            if gi == 2:
+                return h2_l[jj]
+            return _stage_act(lp, cfg, h2_l[jj])
+
+        if not staged:
+            stats = None
+        else:
+            if qcfg.mode == "svd":
+                acc = SketchAccumulator.init(
+                    in_f, rank=int(in_f * qcfg.sketch_ratio), seed=qcfg.seed)
+            else:
+                acc = HessianAccumulator.init(in_f)
+            with timers.phase("accumulate"):
+                for jj, j in enumerate(idx):
+                    acc = acc.update(group_act(jj, j))
+                h_or_y = acc.finalize()
+                if qcfg.mode in ("eigh", "gptq", "svd"):
+                    h_or_y = np.asarray(h_or_y)  # host factorization paths
+            del acc
+            t_f = time.time()
+            with timers.phase("factorize"):
+                stats = _factorize(h_or_y, qcfg, eps)
+            logger.info("   factorized %s in %.2fs (rank %d/%d)",
+                        h_or_y.shape, time.time() - t_f, stats.rank, in_f)
+            del h_or_y
+
+        for name in group_names:
+            t_solve = time.time()
+            w = get_nested(lp, name)["w"].astype(jnp.float32)
+            with timers.phase("quantize"):
+                if stats is None:
+                    codes, wq, p = _rtn_quantize(w, spec)
+                    rank, rel = w.shape[1], float("nan")
+                    scale, zero = p.scale, p.zero
+                else:
+                    res = quantize_weight(
+                        w, stats, spec, block_size=qcfg.block_size,
+                        backend=qcfg.kernel_backend,
+                        with_error=qcfg.log_rel_error,
+                    )
+                    codes, wq = res.codes, res.w_q
+                    scale, zero = res.scale, res.zero
+                    rank, rel = stats.rank, float(res.rel_error)
+            # write back dequantized weight (bf16) for the staged forwards
+            old = get_nested(lp, name)
+            new_p = dict(old) if isinstance(old, dict) else {}
+            new_p["w"] = wq.astype(jnp.bfloat16)
+            set_nested(lp, name, new_p)
+            if qcfg.pack:
+                packed[name] = PackedLinear.from_codes(codes, scale, zero, spec)
+            solve_time = time.time() - t_solve
+            logger.info("   %-22s | rank %5s | rel_err %.4f | %.2fs",
+                        name, rank, rel, solve_time)
+            module_stats.append(
+                {"name": f"{name_prefix}{name}", "rank": int(rank),
+                 "time": solve_time, "rel_error": rel})
+
+    with timers.phase("reforward"):
+        if x2_l is not None:
+            outs = [_stage_out(lp, cfg, x2_l[jj], h2_l[jj])
+                    for jj in range(len(idx))]
+        else:  # rtn path never staged
+            outs = [_layer_forward(lp, cfg, inps[j : j + bs], cos, sin,
+                                   attn_impl=qcfg.attn_impl) for j in idx]
+    return lp, outs, module_stats, packed
+
+
 def quantize_model(
     params: Params,
     cfg: ModelConfig,
@@ -394,81 +564,17 @@ def quantize_model(
 
     for li in range(start_layer, n_layers):
         layer_t0 = time.time()
+        logger.info("[layer %d/%d] groups: %s", li + 1, n_layers,
+                    " | ".join(",".join(g) for g in groups))
         lp = put_layer(params["model"]["layers"][li])
-
-        for gi, group_names in enumerate(groups):
-            logger.info("[layer %d/%d] group %d: %s",
-                        li + 1, n_layers, gi + 1, ", ".join(group_names))
-            eps = (get_adaptive_eps(group_names[0], qcfg.eps)
-                   if qcfg.adaptive_eps else qcfg.eps)
-            in_f = _group_in_features(cfg, gi)
-
-            if qcfg.mode == "rtn":
-                stats = None
-            else:
-                if qcfg.mode == "svd":
-                    acc = SketchAccumulator.init(
-                        in_f, rank=int(in_f * qcfg.sketch_ratio), seed=qcfg.seed
-                    )
-                else:
-                    acc = HessianAccumulator.init(in_f)
-                with timers.phase("accumulate"):
-                    for j in range(0, n_samples, bs):
-                        a = _group_input(lp, cfg, gi, inps[j : j + bs], cos, sin,
-                                         attn_impl=qcfg.attn_impl)
-                        acc = acc.update(a)
-                    h_or_y = acc.finalize()
-                    if qcfg.mode in ("eigh", "gptq", "svd"):
-                        h_or_y = np.asarray(h_or_y)  # host factorization paths
-                del acc
-                t_f = time.time()
-                with timers.phase("factorize"):
-                    stats = _factorize(h_or_y, qcfg, eps)
-                logger.info("   factorized %s in %.2fs (rank %d/%d)",
-                            h_or_y.shape, time.time() - t_f, stats.rank, in_f)
-                del h_or_y
-
-            for name in group_names:
-                t_solve = time.time()
-                w = get_nested(lp, name)["w"].astype(jnp.float32)
-                with timers.phase("quantize"):
-                    if qcfg.mode == "rtn" or stats is None:
-                        codes, wq, p = _rtn_quantize(w, spec)
-                        rank, rel = w.shape[1], float("nan")
-                        scale, zero = p.scale, p.zero
-                    else:
-                        res = quantize_weight(
-                            w, stats, spec, block_size=qcfg.block_size,
-                            backend=qcfg.kernel_backend,
-                        )
-                        codes, wq = res.codes, res.w_q
-                        scale, zero = res.scale, res.zero
-                        rank, rel = stats.rank, float(res.rel_error)
-                # write back dequantized weight (bf16) for the re-forward
-                old = get_nested(lp, name)
-                new_p = dict(old) if isinstance(old, dict) else {}
-                new_p["w"] = wq.astype(jnp.bfloat16)
-                set_nested(lp, name, new_p)
-                if qcfg.pack:
-                    packed[f"layers.{li}.{name}"] = PackedLinear.from_codes(
-                        codes, scale, zero, spec
-                    )
-                solve_time = time.time() - t_solve
-                logger.info("   %-22s | rank %5s | rel_err %.4f | %.2fs",
-                            name, rank, rel, solve_time)
-                log["layer_stats"].append(
-                    {"name": f"layer_{li}.{name}", "rank": int(rank),
-                     "time": solve_time, "rel_error": rel}
-                )
-
-        # re-forward through the quantized layer for the next layer's inputs
-        with timers.phase("reforward"):
-            outs = []
-            for j in range(0, n_samples, bs):
-                outs.append(_layer_forward(lp, cfg, inps[j : j + bs], cos, sin,
-                                           attn_impl=qcfg.attn_impl))
-            inps = jnp.concatenate(outs, axis=0)
-            del outs
+        lp, outs, module_stats, layer_packed = quantize_layer(
+            lp, cfg, inps, cos, sin, qcfg, timers=timers,
+            name_prefix=f"layer_{li}.")
+        log["layer_stats"].extend(module_stats)
+        for name, pl in layer_packed.items():
+            packed[f"layers.{li}.{name}"] = pl
+        inps = jnp.concatenate(outs, axis=0)
+        del outs
 
         # persist quantized layer back to the host tree, free device copy
         params["model"]["layers"][li] = jax.device_get(lp)
