@@ -155,6 +155,44 @@ def test_eos_stopping(params):
     assert req.output == [first]
 
 
+def test_kv_int8_roundtrip():
+    """int8 per-token-per-head KV storage reconstructs within absmax
+    quantization error (≤ scale/2 per element ⇒ rel err ~0.4%)."""
+    from tgq.serve.kv_cache import LayerKV, kv_gather, kv_write_pages
+
+    rng = np.random.default_rng(0)
+    page, kvh, d, n_pages = 8, 2, 16, 4
+    kv = LayerKV(
+        k=jnp.zeros((n_pages + 1, page, kvh, d), jnp.int8),
+        v=jnp.zeros((n_pages + 1, page, kvh, d), jnp.int8),
+        ks=jnp.zeros((n_pages + 1, page, kvh), jnp.float32),
+        vs=jnp.zeros((n_pages + 1, page, kvh), jnp.float32),
+    )
+    k_new = jnp.asarray(rng.standard_normal((n_pages * page, kvh, d)),
+                        jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((n_pages * page, kvh, d)),
+                        jnp.float32)
+    kv = kv_write_pages(kv, jnp.arange(1, n_pages + 1), k_new, v_new)
+    table = jnp.arange(1, n_pages + 1)[None, :]  # one slot, all pages
+    kg, vg = kv_gather(kv, table)
+    for got, want in ((kg, k_new), (vg, v_new)):
+        err = np.abs(np.asarray(got[0]) - np.asarray(want))
+        amax = np.max(np.abs(np.asarray(want)), axis=-1, keepdims=True)
+        assert np.all(err <= amax / 127.0 * 0.5 + 1e-6)
+
+
+def test_kv8_serving_matches_greedy(params):
+    """INT8 KV cache keeps tiny-model greedy decode identical to bf16."""
+    prompt = [5, 17, 42, 100, 7]
+    ref = greedy_reference(params, prompt, 6)
+    scfg = ServeConfig(max_slots=2, page_size=8, num_pages=64,
+                       max_pages_per_slot=8, max_new_tokens=6, kv_bits=8)
+    eng = Engine(params, CFG, scfg)
+    req = eng.submit(prompt)
+    eng.run()
+    assert req.output == ref, (req.output, ref)
+
+
 def test_quantized_serving(params):
     """Packed-INT8 weights served through the engine stay close to the
     dense greedy path."""

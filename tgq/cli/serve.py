@@ -102,6 +102,8 @@ def main(argv=None) -> int:
     ap.add_argument("--temperature", type=float, default=0.0)
     ap.add_argument("--decode_chunk", type=int, default=8,
                     help="decode steps fused per device dispatch")
+    ap.add_argument("--kv_bits", type=int, default=16, choices=(16, 8),
+                    help="KV cache storage: bf16 or int8+scales")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--profile_dir", default=None,
                     help="write a jax.profiler trace here")
@@ -141,7 +143,7 @@ def main(argv=None) -> int:
         max_slots=args.max_slots, page_size=args.page_size,
         num_pages=args.num_pages, max_pages_per_slot=max_pages_per_slot,
         max_new_tokens=args.gen_tokens, temperature=args.temperature,
-        seed=args.seed, decode_chunk=args.decode_chunk,
+        seed=args.seed, decode_chunk=args.decode_chunk, kv_bits=args.kv_bits,
     )
     eng = Engine(params, cfg, scfg, mesh=mesh)
 
@@ -178,8 +180,9 @@ def main(argv=None) -> int:
             (total_tokens - len(reqs)) / max(eng.decode_wall_s, 1e-9), 2),
         "ttft_p50_s": round(float(np.percentile(ttft, 50)), 3),
         "config": {
-            "model": cfg.name, "w_bits": args.w_bits,
-            "slots": args.max_slots, "prompt_len": args.prompt_len,
+            "model": cfg.name, "w_bits": args.w_bits, "kv_bits": args.kv_bits,
+            "slots": args.max_slots, "decode_chunk": args.decode_chunk,
+            "prompt_len": args.prompt_len,
             "gen_tokens": args.gen_tokens, "n_requests": args.n_requests,
         },
     }

@@ -22,7 +22,13 @@ from tgq.models.causal_lm import (
     rope_cache,
 )
 from tgq.models.config import ModelConfig
-from tgq.serve.kv_cache import PagedKVCache
+from tgq.serve.kv_cache import (
+    LayerKV,
+    PagedKVCache,
+    kv_gather,
+    kv_write_pages,
+    kv_write_token,
+)
 
 
 def stack_layer_params(params):
@@ -48,10 +54,10 @@ def _rope_at(cos_tab, sin_tab, pos, x):
     return (x.astype(jnp.float32) * cos + rot.astype(jnp.float32) * sin).astype(x.dtype)
 
 
-def _decode_layer(lp, cfg: ModelConfig, x, k_pool, v_pool, cos_tab, sin_tab,
+def _decode_layer(lp, cfg: ModelConfig, x, kv: LayerKV, cos_tab, sin_tab,
                   pos, pages, offsets, table, lens):
-    """One decoder layer's decode for all slots against its own KV pool
-    slice (num_pages, page, kvh, d).  Returns (x, k_pool, v_pool)."""
+    """One decoder layer's decode for all slots against its own KV pools
+    (LayerKV — bf16 or int8+scales).  Returns (x, kv)."""
     slots = x.shape[0]
     h = rms_norm(x, lp["input_layernorm"]["weight"], cfg.rms_norm_eps)
     q = apply_linear(lp["self_attn"]["q_proj"], h).reshape(
@@ -65,24 +71,20 @@ def _decode_layer(lp, cfg: ModelConfig, x, k_pool, v_pool, cos_tab, sin_tab,
         k = rms_norm(k, lp["self_attn"]["k_norm"]["weight"], cfg.rms_norm_eps)
     q = _rope_at(cos_tab, sin_tab, pos, q)
     k = _rope_at(cos_tab, sin_tab, pos, k)
-    k_pool = k_pool.at[pages, offsets].set(k.astype(k_pool.dtype))
-    v_pool = v_pool.at[pages, offsets].set(v.astype(v_pool.dtype))
-    # gather this slot's pages and attend
-    page = k_pool.shape[1]
-    mpps = table.shape[1]
-    kg = k_pool[table].reshape(slots, mpps * page, cfg.num_kv_heads, cfg.head_dim)
-    vg = v_pool[table].reshape(slots, mpps * page, cfg.num_kv_heads, cfg.head_dim)
+    kv = kv_write_token(kv, pages, offsets, k, v)
+    # gather this slot's pages (dequantizing int8 storage) and attend
+    kg, vg = kv_gather(kv, table)
     rep = cfg.num_heads // cfg.num_kv_heads
     # grouped-query attention without materializing repeated K/V: fold
     # the query heads sharing a KV head into a group axis g
     qg = q.reshape(slots, cfg.num_kv_heads, rep, cfg.head_dim)
     scale = 1.0 / jnp.sqrt(jnp.float32(cfg.head_dim))
     logits = jnp.einsum("skgd,stkd->skgt", qg.astype(jnp.float32),
-                        kg.astype(jnp.float32)) * scale
+                        kg, precision=jax.lax.Precision.DEFAULT) * scale
     t_ids = jnp.arange(kg.shape[1])[None, None, None, :]
     mask = t_ids < lens[:, None, None, None]
     probs = jax.nn.softmax(jnp.where(mask, logits, -1e30), axis=-1)
-    attn = jnp.einsum("skgt,stkd->skgd", probs, vg.astype(jnp.float32)
+    attn = jnp.einsum("skgt,stkd->skgd", probs, vg
                       ).reshape(slots, cfg.num_heads, cfg.head_dim)
     x = x + apply_linear(lp["self_attn"]["o_proj"],
                          attn.reshape(slots, cfg.q_size).astype(x.dtype))
@@ -90,7 +92,7 @@ def _decode_layer(lp, cfg: ModelConfig, x, k_pool, v_pool, cos_tab, sin_tab,
     gate = apply_linear(lp["mlp"]["gate_proj"], h2)
     up = apply_linear(lp["mlp"]["up_proj"], h2)
     x = x + apply_linear(lp["mlp"]["down_proj"], jax.nn.silu(gate) * up)
-    return x, k_pool, v_pool
+    return x, kv
 
 
 def _decode_core(params, cache: PagedKVCache, cfg: ModelConfig,
@@ -115,24 +117,20 @@ def _decode_core(params, cache: PagedKVCache, cfg: ModelConfig,
 
     layers = params["model"]["layers"]
     if isinstance(layers, list):
-        k_new, v_new = cache.k, cache.v
         for li, lp in enumerate(layers):
-            x, kl, vl = _decode_layer(lp, cfg, x, k_new[li], v_new[li],
-                                      cos_tab, sin_tab, pos, pages, offsets,
-                                      table, lens)
-            k_new = k_new.at[li].set(kl)
-            v_new = v_new.at[li].set(vl)
-        cache = PagedKVCache(k=k_new, v=v_new)
+            x, kv = _decode_layer(lp, cfg, x, cache.layer(li),
+                                  cos_tab, sin_tab, pos, pages, offsets,
+                                  table, lens)
+            cache = cache.set_layer(li, kv)
     else:
         def body(x, xs):
-            lp, k_l, v_l = xs
-            x, k_l, v_l = _decode_layer(lp, cfg, x, k_l, v_l, cos_tab,
-                                        sin_tab, pos, pages, offsets, table,
-                                        lens)
-            return x, (k_l, v_l)
+            lp, kv = xs
+            x, kv = _decode_layer(lp, cfg, x, kv, cos_tab, sin_tab, pos,
+                                  pages, offsets, table, lens)
+            return x, kv
 
-        x, (k_new, v_new) = jax.lax.scan(body, x, (layers, cache.k, cache.v))
-        cache = PagedKVCache(k=k_new, v=v_new)
+        x, kv_new = jax.lax.scan(body, x, (layers, cache.stacked()))
+        cache = PagedKVCache.from_stacked(kv_new)
 
     x = apply_final_norm(params, cfg, x[:, None])[:, 0]
     logits = lm_logits(params, cfg, x[:, None])[:, 0]
@@ -181,13 +179,12 @@ def decode_steps(params, cache: PagedKVCache, cfg: ModelConfig,
     return toks, cache, key
 
 
-def _prefill_layer(lp, cfg: ModelConfig, x, k_pool, v_pool, cos, sin,
+def _prefill_layer(lp, cfg: ModelConfig, x, kv: LayerKV, cos, sin,
                    slot_pages, attn_impl: str):
-    """One layer of single-prompt prefill against its KV pool slice."""
+    """One layer of single-prompt prefill against its KV pools."""
     from tgq.models.causal_lm import apply_rope, causal_attention
 
     b, seq, _ = x.shape
-    page = k_pool.shape[1]
     h = rms_norm(x, lp["input_layernorm"]["weight"], cfg.rms_norm_eps)
     q = apply_linear(lp["self_attn"]["q_proj"], h).reshape(
         b, seq, cfg.num_heads, cfg.head_dim)
@@ -200,11 +197,7 @@ def _prefill_layer(lp, cfg: ModelConfig, x, k_pool, v_pool, cos, sin,
         k = rms_norm(k, lp["self_attn"]["k_norm"]["weight"], cfg.rms_norm_eps)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    n_pages = slot_pages.shape[0]
-    kp = k[0].reshape(n_pages, page, cfg.num_kv_heads, cfg.head_dim)
-    vp = v[0].reshape(n_pages, page, cfg.num_kv_heads, cfg.head_dim)
-    k_pool = k_pool.at[slot_pages].set(kp.astype(k_pool.dtype))
-    v_pool = v_pool.at[slot_pages].set(vp.astype(v_pool.dtype))
+    kv = kv_write_pages(kv, slot_pages, k[0], v[0])
     attn = causal_attention(q, k, v, impl=attn_impl)
     x = x + apply_linear(lp["self_attn"]["o_proj"],
                          attn.reshape(b, seq, cfg.q_size).astype(x.dtype))
@@ -212,7 +205,7 @@ def _prefill_layer(lp, cfg: ModelConfig, x, k_pool, v_pool, cos, sin,
     gate = apply_linear(lp["mlp"]["gate_proj"], h2)
     up = apply_linear(lp["mlp"]["up_proj"], h2)
     x = x + apply_linear(lp["mlp"]["down_proj"], jax.nn.silu(gate) * up)
-    return x, k_pool, v_pool
+    return x, kv
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
@@ -231,22 +224,19 @@ def prefill(params, cache: PagedKVCache, cfg: ModelConfig,
 
     layers = params["model"]["layers"]
     if isinstance(layers, list):
-        k_new, v_new = cache.k, cache.v
         for li, lp in enumerate(layers):
-            x, kl, vl = _prefill_layer(lp, cfg, x, k_new[li], v_new[li],
-                                       cos, sin, slot_pages, attn_impl)
-            k_new = k_new.at[li].set(kl)
-            v_new = v_new.at[li].set(vl)
-        cache = PagedKVCache(k=k_new, v=v_new)
+            x, kv = _prefill_layer(lp, cfg, x, cache.layer(li),
+                                   cos, sin, slot_pages, attn_impl)
+            cache = cache.set_layer(li, kv)
     else:
         def body(x, xs):
-            lp, k_l, v_l = xs
-            x, k_l, v_l = _prefill_layer(lp, cfg, x, k_l, v_l, cos, sin,
-                                         slot_pages, attn_impl)
-            return x, (k_l, v_l)
+            lp, kv = xs
+            x, kv = _prefill_layer(lp, cfg, x, kv, cos, sin, slot_pages,
+                                   attn_impl)
+            return x, kv
 
-        x, (k_new, v_new) = jax.lax.scan(body, x, (layers, cache.k, cache.v))
-        cache = PagedKVCache(k=k_new, v=v_new)
+        x, kv_new = jax.lax.scan(body, x, (layers, cache.stacked()))
+        cache = PagedKVCache.from_stacked(kv_new)
 
     x = apply_final_norm(params, cfg, x)
     last = x[0, true_len - 1][None, None]

@@ -46,6 +46,9 @@ class ServeConfig:
     # per chunk; sampling runs on device).  Rounded down to a power of
     # two per tick so at most log2(chunk)+1 step counts ever compile.
     decode_chunk: int = 8
+    # KV storage: 16 = bf16, 8 = int8 with per-token-per-head scales
+    # (halves decode-attention traffic, doubles cache capacity)
+    kv_bits: int = 16
 
 
 @dataclasses.dataclass
@@ -76,21 +79,23 @@ class Engine:
             from tgq.serve.decode import stack_layer_params
 
             params = stack_layer_params(params)
+        cache = PagedKVCache.init(cfg, scfg.num_pages, scfg.page_size,
+                                  kv_bits=scfg.kv_bits)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from tgq.parallel import shard_params
 
             self.params = shard_params(params, mesh)
-            kv_shard = NamedSharding(mesh, P(None, None, None, "model", None))
-            cache = PagedKVCache.init(cfg, scfg.num_pages, scfg.page_size)
-            self.cache = PagedKVCache(
-                k=jax.device_put(cache.k, kv_shard),
-                v=jax.device_put(cache.v, kv_shard),
-            )
+            # pools shard on the kv-head axis: (L, P, page, kvh[, d])
+            shard5 = NamedSharding(mesh, P(None, None, None, "model", None))
+            shard4 = NamedSharding(mesh, P(None, None, None, "model"))
+            self.cache = jax.tree.map(
+                lambda a: jax.device_put(a, shard5 if a.ndim == 5 else shard4),
+                cache)
         else:
             self.params = params
-            self.cache = PagedKVCache.init(cfg, scfg.num_pages, scfg.page_size)
+            self.cache = cache
         self.pt = PageTable(scfg.num_pages, scfg.page_size, scfg.max_slots,
                             scfg.max_pages_per_slot)
         self.slots: list[Optional[Request]] = [None] * scfg.max_slots

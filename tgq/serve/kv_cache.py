@@ -1,11 +1,15 @@
-"""Paged KV cache for the serving engine.
+"""Paged KV cache for the serving engine — bf16 or quantized INT8.
 
 The reference has no serving side at all (SURVEY.md §0); this is the
 BASELINE.json north-star component, built jax-native:
 
 - one global **page pool** per layer: (num_pages, page_size, kv_heads,
-  head_dim) bf16 for K and V, living on device (sharded on the "model"
-  axis by head under TP);
+  head_dim) for K and V, living on device (sharded on the "model" axis
+  by head under TP).  Storage is bf16, or **int8 with per-token-per-head
+  absmax scales** (`kv_bits=8`, KIVI/InnerQ-style tuning-free KV
+  quantization — PAPERS.md): halves decode-attention HBM traffic and
+  doubles the contexts that fit, with dequantization fused into the
+  attention gather;
 - a host-side **allocator** (free list) and a device **page table**
   (slots × max_pages_per_slot int32) mapping each decode slot's logical
   blocks to physical pages — slots admit/finish without moving KV;
@@ -140,59 +144,134 @@ class PageTable:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
-class PagedKVCache:
-    """Device page pools: k/v of shape (layers, num_pages, page, kvh, d)."""
+class LayerKV:
+    """One layer's page pools: k/v (num_pages, page, kvh, d); for int8
+    storage, ks/vs hold per-token-per-head absmax scales
+    (num_pages, page, kvh) f32 — None for bf16 storage."""
 
     k: jax.Array
     v: jax.Array
+    ks: Optional[jax.Array] = None
+    vs: Optional[jax.Array] = None
+
+    @property
+    def page_size(self) -> int:
+        return self.k.shape[1]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PagedKVCache:
+    """Device page pools, stacked over layers: k/v of shape
+    (layers, num_pages, page, kvh, d) and (for kv_bits=8) scale pools
+    ks/vs of shape (layers, num_pages, page, kvh) f32."""
+
+    k: jax.Array
+    v: jax.Array
+    ks: Optional[jax.Array] = None
+    vs: Optional[jax.Array] = None
 
     @classmethod
     def init(cls, cfg: ModelConfig, num_pages: int, page_size: int,
-             dtype=jnp.bfloat16) -> "PagedKVCache":
+             dtype=jnp.bfloat16, kv_bits: int = 16) -> "PagedKVCache":
         shape = (cfg.num_layers, num_pages, page_size, cfg.num_kv_heads,
                  cfg.head_dim)
+        if kv_bits == 8:
+            return cls(k=jnp.zeros(shape, jnp.int8),
+                       v=jnp.zeros(shape, jnp.int8),
+                       ks=jnp.zeros(shape[:-1], jnp.float32),
+                       vs=jnp.zeros(shape[:-1], jnp.float32))
+        assert kv_bits == 16, kv_bits
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
     @property
     def page_size(self) -> int:
         return self.k.shape[2]
 
+    def layer(self, li: int) -> LayerKV:
+        return LayerKV(
+            k=self.k[li], v=self.v[li],
+            ks=None if self.ks is None else self.ks[li],
+            vs=None if self.vs is None else self.vs[li],
+        )
 
-def write_prefill(cache: PagedKVCache, layer: int, slot_pages: jax.Array,
-                  k_new: jax.Array, v_new: jax.Array) -> PagedKVCache:
-    """Write a full prompt's K/V for one layer.
+    def set_layer(self, li: int, kv: LayerKV) -> "PagedKVCache":
+        return PagedKVCache(
+            k=self.k.at[li].set(kv.k), v=self.v.at[li].set(kv.v),
+            ks=None if self.ks is None else self.ks.at[li].set(kv.ks),
+            vs=None if self.vs is None else self.vs.at[li].set(kv.vs),
+        )
 
-    slot_pages: (n_pages,) physical page ids for this slot.
-    k_new/v_new: (seq, kvh, d) with seq == n_pages * page_size (padded).
-    """
-    page = cache.page_size
+    def stacked(self) -> LayerKV:
+        """Layer-stacked pools as one LayerKV pytree — scan xs."""
+        return LayerKV(k=self.k, v=self.v, ks=self.ks, vs=self.vs)
+
+    @classmethod
+    def from_stacked(cls, kv: LayerKV) -> "PagedKVCache":
+        return cls(k=kv.k, v=kv.v, ks=kv.ks, vs=kv.vs)
+
+
+def _absmax_quantize(x: jax.Array):
+    """(..., d) f32 → int8 codes + (...,) f32 scale (per-vector absmax)."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1) / 127.0, 1e-10)
+    q = jnp.round(xf / s[..., None]).astype(jnp.int8)
+    return q, s
+
+
+def kv_write_token(kv: LayerKV, pages: jax.Array, offsets: jax.Array,
+                   k_new: jax.Array, v_new: jax.Array) -> LayerKV:
+    """Scatter one token's K/V per slot.  pages/offsets: (slots,);
+    k_new/v_new: (slots, kvh, d)."""
+    if kv.ks is None:
+        return LayerKV(
+            k=kv.k.at[pages, offsets].set(k_new.astype(kv.k.dtype)),
+            v=kv.v.at[pages, offsets].set(v_new.astype(kv.v.dtype)),
+        )
+    qk, sk = _absmax_quantize(k_new)
+    qv, sv = _absmax_quantize(v_new)
+    return LayerKV(
+        k=kv.k.at[pages, offsets].set(qk),
+        v=kv.v.at[pages, offsets].set(qv),
+        ks=kv.ks.at[pages, offsets].set(sk),
+        vs=kv.vs.at[pages, offsets].set(sv),
+    )
+
+
+def kv_write_pages(kv: LayerKV, slot_pages: jax.Array,
+                   k_new: jax.Array, v_new: jax.Array) -> LayerKV:
+    """Write a full prompt's K/V (prefill).  slot_pages: (n_pages,);
+    k_new/v_new: (seq, kvh, d) with seq == n_pages * page_size."""
+    page = kv.page_size
     n_pages = slot_pages.shape[0]
-    kp = k_new.reshape(n_pages, page, *k_new.shape[1:]).astype(cache.k.dtype)
-    vp = v_new.reshape(n_pages, page, *v_new.shape[1:]).astype(cache.v.dtype)
-    k = cache.k.at[layer, slot_pages].set(kp)
-    v = cache.v.at[layer, slot_pages].set(vp)
-    return PagedKVCache(k=k, v=v)
+
+    def tile(x):
+        return x.reshape(n_pages, page, *x.shape[1:])
+
+    if kv.ks is None:
+        return LayerKV(
+            k=kv.k.at[slot_pages].set(tile(k_new).astype(kv.k.dtype)),
+            v=kv.v.at[slot_pages].set(tile(v_new).astype(kv.v.dtype)),
+        )
+    qk, sk = _absmax_quantize(k_new)
+    qv, sv = _absmax_quantize(v_new)
+    return LayerKV(
+        k=kv.k.at[slot_pages].set(tile(qk)),
+        v=kv.v.at[slot_pages].set(tile(qv)),
+        ks=kv.ks.at[slot_pages].set(tile(sk)),
+        vs=kv.vs.at[slot_pages].set(tile(sv)),
+    )
 
 
-def write_decode(cache: PagedKVCache, layer: int, pages: jax.Array,
-                 offsets: jax.Array, k_new: jax.Array, v_new: jax.Array
-                 ) -> PagedKVCache:
-    """Scatter one token's K/V per slot.
-
-    pages/offsets: (slots,) physical page + in-page offset per slot.
-    k_new/v_new: (slots, kvh, d).
-    """
-    k = cache.k.at[layer, pages, offsets].set(k_new.astype(cache.k.dtype))
-    v = cache.v.at[layer, pages, offsets].set(v_new.astype(cache.v.dtype))
-    return PagedKVCache(k=k, v=v)
-
-
-def gather_slot_kv(cache: PagedKVCache, layer: int, table: jax.Array):
-    """(slots, mpps·page, kvh, d) views of each slot's K/V."""
-    page = cache.page_size
+def kv_gather(kv: LayerKV, table: jax.Array):
+    """Gather + dequantize each slot's pages: (slots, mpps·page, kvh, d)
+    f32 views of K and V."""
+    page = kv.page_size
     slots, mpps = table.shape
-    k = cache.k[layer][table]  # (slots, mpps, page, kvh, d)
-    v = cache.v[layer][table]
-    kvh, d = k.shape[-2:]
-    return (k.reshape(slots, mpps * page, kvh, d),
-            v.reshape(slots, mpps * page, kvh, d))
+    kvh, d = kv.k.shape[-2:]
+    kg = kv.k[table].reshape(slots, mpps * page, kvh, d).astype(jnp.float32)
+    vg = kv.v[table].reshape(slots, mpps * page, kvh, d).astype(jnp.float32)
+    if kv.ks is not None:
+        kg = kg * kv.ks[table].reshape(slots, mpps * page, kvh)[..., None]
+        vg = vg * kv.vs[table].reshape(slots, mpps * page, kvh)[..., None]
+    return kg, vg
