@@ -138,28 +138,44 @@ def _stage_attn(lp, cfg: ModelConfig, x, cos, sin, attn_impl="auto"):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _stage_resid_mlp_in(lp, cfg: ModelConfig, x, attn):
-    """(x2, h2): post-attention residual and normed MLP input (group 2's
-    input), with group-1-quantized o_proj."""
+def _stage_resid(lp, cfg: ModelConfig, x, attn):
+    """x2: post-attention residual (with group-1-quantized o_proj).
+    Only x2 is staged — h2 = mlp_input(x2) is one RMS norm, recomputed
+    on demand; storing it too OOMed a 16 GB v5e at 8B shapes."""
     from tgq.models.causal_lm import apply_linear
 
-    x2 = x + apply_linear(lp["self_attn"]["o_proj"], attn)
-    return x2, mlp_input(lp, cfg, x2)
+    return x + apply_linear(lp["self_attn"]["o_proj"], attn)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _stage_act(lp, cfg: ModelConfig, h2):
+def _stage_mlp_in(lp, cfg: ModelConfig, x2):
+    """h2 (group 2's input) from the staged residual."""
+    return mlp_input(lp, cfg, x2)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _stage_act(lp, cfg: ModelConfig, x2):
     """silu(gate)·up (group 3's input), with group-2-quantized gate/up."""
-    return mlp_act(lp, cfg, h2)
+    return mlp_act(lp, cfg, mlp_input(lp, cfg, x2))
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _stage_out(lp, cfg: ModelConfig, x2, h2):
-    """Quantized-layer output from the staged (x2, h2) — recomputes only
-    the MLP tail with the fully quantized weights."""
+def _stage_out(lp, cfg: ModelConfig, x2):
+    """Quantized-layer output from the staged residual — recomputes only
+    the MLP with the fully quantized weights."""
     from tgq.models.causal_lm import apply_linear
 
-    return x2 + apply_linear(lp["mlp"]["down_proj"], mlp_act(lp, cfg, h2))
+    return x2 + apply_linear(lp["mlp"]["down_proj"],
+                             mlp_act(lp, cfg, mlp_input(lp, cfg, x2)))
+
+
+def _layer_forward_staged(lp, cfg: ModelConfig, x, cos, sin, attn_impl="auto"):
+    """Full layer forward through the SAME staged jit chain quantize_layer
+    uses for its outputs — bit-identical to an uninterrupted run's
+    propagated activations (a monolithic jit fuses differently in bf16),
+    which per-layer resume relies on."""
+    attn = _stage_attn(lp, cfg, x, cos, sin, attn_impl=attn_impl)
+    return _stage_out(lp, cfg, _stage_resid(lp, cfg, x, attn))
 
 
 def _factorize(h_or_y, qcfg: QuantizeConfig, eps: float) -> FactorResult:
@@ -391,13 +407,9 @@ def quantize_layer(
                                       attn_impl=qcfg.attn_impl) for j in idx]
         elif staged and gi == 2:
             with timers.phase("stage_fwd"):
-                x2_l, h2_l = [], []
-                for jj, j in enumerate(idx):
-                    x2, h2 = _stage_resid_mlp_in(lp, cfg, inps[j : j + bs],
-                                                 attn_l[jj])
-                    x2_l.append(x2)
-                    h2_l.append(h2)
-                attn_l = None  # freed — superseded by (x2, h2)
+                x2_l = [_stage_resid(lp, cfg, inps[j : j + bs], attn_l[jj])
+                        for jj, j in enumerate(idx)]
+                attn_l = None  # freed — superseded by x2
 
         def group_act(jj: int, j: int):
             if gi == 0:
@@ -406,8 +418,8 @@ def quantize_layer(
             if gi == 1:
                 return attn_l[jj]
             if gi == 2:
-                return h2_l[jj]
-            return _stage_act(lp, cfg, h2_l[jj])
+                return _stage_mlp_in(lp, cfg, x2_l[jj])
+            return _stage_act(lp, cfg, x2_l[jj])
 
         if not staged:
             stats = None
@@ -464,8 +476,7 @@ def quantize_layer(
 
     with timers.phase("reforward"):
         if x2_l is not None:
-            outs = [_stage_out(lp, cfg, x2_l[jj], h2_l[jj])
-                    for jj in range(len(idx))]
+            outs = [_stage_out(lp, cfg, x2) for x2 in x2_l]
         else:  # rtn path never staged
             outs = [_layer_forward(lp, cfg, inps[j : j + bs], cos, sin,
                                    attn_impl=qcfg.attn_impl) for j in idx]
@@ -552,11 +563,13 @@ def quantize_model(
         if start_layer > 0:
             logger.info("[resume] layers 0..%d restored; re-forwarding "
                         "calibration activations", start_layer - 1)
+            refwd = (_layer_forward if qcfg.mode == "rtn"
+                     else _layer_forward_staged)
             for li in range(start_layer):
                 lp = put_layer(params["model"]["layers"][li])
                 outs = [
-                    _layer_forward(lp, cfg, inps[j : j + bs], cos, sin,
-                                   attn_impl=qcfg.attn_impl)
+                    refwd(lp, cfg, inps[j : j + bs], cos, sin,
+                          attn_impl=qcfg.attn_impl)
                     for j in range(0, n_samples, bs)
                 ]
                 inps = jnp.concatenate(outs, axis=0)
