@@ -151,8 +151,10 @@ def main(argv=None) -> int:
     prompts = [rng.integers(0, cfg.vocab_size, size=args.prompt_len).tolist()
                for _ in range(args.n_requests)]
 
-    # warm-up: one request compiles prefill + decode
-    eng.submit(prompts[0][: args.prompt_len])
+    # warm-up: one full wave compiles the batched prefill at the real
+    # admission width plus every decode-chunk tail size
+    for p in prompts[: min(args.max_slots, args.n_requests)]:
+        eng.submit(p)
     eng.run()
     eng.decode_wall_s = eng.prefill_wall_s = 0.0
     eng.steps = eng.tokens_emitted = 0

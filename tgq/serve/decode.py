@@ -197,7 +197,7 @@ def _prefill_layer(lp, cfg: ModelConfig, x, kv: LayerKV, cos, sin,
         k = rms_norm(k, lp["self_attn"]["k_norm"]["weight"], cfg.rms_norm_eps)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    kv = kv_write_pages(kv, slot_pages, k[0], v[0])
+    kv = kv_write_pages(kv, slot_pages, k, v)  # (b, n_pages) pages
     attn = causal_attention(q, k, v, impl=attn_impl)
     x = x + apply_linear(lp["self_attn"]["o_proj"],
                          attn.reshape(b, seq, cfg.q_size).astype(x.dtype))
@@ -217,7 +217,19 @@ def prefill(params, cache: PagedKVCache, cfg: ModelConfig,
     true_len: scalar — returns (last-token logits, cache).  Stacked
     layer params run as one lax.scan (see decode_step).
     """
-    seq = input_ids.shape[1]
+    logits, cache = _prefill_core(params, cache, cfg, slot_pages[None],
+                                  input_ids, true_len[None])
+    return logits[0], cache
+
+
+def _prefill_core(params, cache: PagedKVCache, cfg: ModelConfig,
+                  slot_pages, input_ids, true_len):
+    """Batched prefill: b prompts padded to the same page multiple.
+
+    slot_pages: (b, n_pages); input_ids: (b, seq_pad); true_len: (b,).
+    Returns (last-token logits (b, vocab), cache).
+    """
+    b, seq = input_ids.shape
     x = embed_tokens(params, input_ids)
     cos, sin = rope_cache(cfg, seq)
     attn_impl = "naive" if seq < 512 else "auto"
@@ -239,6 +251,18 @@ def prefill(params, cache: PagedKVCache, cfg: ModelConfig,
         cache = PagedKVCache.from_stacked(kv_new)
 
     x = apply_final_norm(params, cfg, x)
-    last = x[0, true_len - 1][None, None]
-    logits = lm_logits(params, cfg, last)[0, 0]
+    last = x[jnp.arange(b), true_len - 1][:, None]
+    logits = lm_logits(params, cfg, last)[:, 0]
     return logits, cache
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def prefill_batch(params, cache: PagedKVCache, cfg: ModelConfig,
+                  slot_pages, input_ids, true_len, temps, key):
+    """Batched prefill with on-device sampling: returns (first tokens
+    (b,) int32, cache, key) — only b int32s cross to the host, and b
+    prompts cost one dispatch instead of b (admission-wave TTFT)."""
+    logits, cache = _prefill_core(params, cache, cfg, slot_pages, input_ids,
+                                  true_len)
+    toks, key = _sample_tokens(logits, temps, key)
+    return toks, cache, key

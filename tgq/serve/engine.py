@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tgq.models.config import ModelConfig
-from tgq.serve.decode import decode_steps, prefill
+from tgq.serve.decode import decode_steps, prefill_batch
 from tgq.serve.kv_cache import PagedKVCache, PageTable
 
 logger = logging.getLogger(__name__)
@@ -140,34 +140,62 @@ class Engine:
         return int(tok)
 
     def _admit(self) -> None:
-        for s in range(self.scfg.max_slots):
-            if self.slots[s] is not None or not self.queue:
-                continue
-            req = self.queue[0]
-            n_prompt = len(req.prompt)
-            page = self.scfg.page_size
-            # prompt pages + room for one decode page
-            if not self.pt.can_alloc(n_prompt + 1):
-                break
-            self.queue.popleft()
+        """Admit queued requests into free slots.  Head-of-queue requests
+        whose prompts pad to the same page multiple are prefilled in ONE
+        batched dispatch with on-device sampling (power-of-two batch so
+        at most log2(slots)+1 prefill widths ever compile); an admission
+        wave costs one device round-trip instead of one per request."""
+        page = self.scfg.page_size
+        while self.queue:
+            free = [s for s in range(self.scfg.max_slots)
+                    if self.slots[s] is None]
+            if not free:
+                return
+            head_pages = self.pt.pages_needed(len(self.queue[0].prompt))
+            group: list[Request] = []
+            budget = self.pt.num_free
+            for req in self.queue:
+                need = self.pt.pages_needed(len(req.prompt) + 1)
+                if (self.pt.pages_needed(len(req.prompt)) != head_pages
+                        or need > budget or len(group) >= len(free)):
+                    break
+                group.append(req)
+                budget -= need
+            if not group:
+                return  # head of queue doesn't fit yet
+            b = 1 << (len(group).bit_length() - 1)  # power-of-two batch
+            group = group[:b]
             t0 = time.time()
-            pad = -(-n_prompt // page) * page
-            pages = jnp.asarray(self.pt.alloc_slot(s, n_prompt), jnp.int32)
-            ids = np.zeros((1, pad), np.int32)
-            ids[0, :n_prompt] = req.prompt
-            logits, self.cache = prefill(
-                self.params, self.cache, self.cfg, pages,
-                jnp.asarray(ids), jnp.int32(n_prompt),
+            pad = head_pages * page
+            ids = np.zeros((b, pad), np.int32)
+            true_len = np.zeros((b,), np.int32)
+            temps = np.zeros((b,), np.float32)
+            slot_pages = np.zeros((b, head_pages), np.int32)
+            slots = free[:b]
+            for i, (s, req) in enumerate(zip(slots, group)):
+                self.queue.popleft()
+                n_prompt = len(req.prompt)
+                ids[i, :n_prompt] = req.prompt
+                true_len[i] = n_prompt
+                temps[i] = (req.temperature if req.temperature is not None
+                            else self.scfg.temperature)
+                slot_pages[i] = self.pt.alloc_slot(s, n_prompt)
+                self.slots[s] = req
+            toks, self.cache, self.key = prefill_batch(
+                self.params, self.cache, self.cfg, jnp.asarray(slot_pages),
+                jnp.asarray(ids), jnp.asarray(true_len), jnp.asarray(temps),
+                self.key,
             )
-            temp = req.temperature if req.temperature is not None else self.scfg.temperature
-            tok = self._sample(logits, temp)
-            req.output.append(tok)
-            req.first_token_t = time.time()
-            self.prefill_wall_s += req.first_token_t - t0
-            self.tokens_emitted += 1
-            self.slots[s] = req
-            if self._finished(req, tok):
-                self._retire(s)
+            toks = np.asarray(toks)
+            now = time.time()
+            self.prefill_wall_s += now - t0
+            for i, (s, req) in enumerate(zip(slots, group)):
+                tok = int(toks[i])
+                req.output.append(tok)
+                req.first_token_t = now
+                self.tokens_emitted += 1
+                if self._finished(req, tok):
+                    self._retire(s)
 
     def _finished(self, req: Request, tok: int) -> bool:
         if self.scfg.eos_id is not None and tok == self.scfg.eos_id:

@@ -240,13 +240,13 @@ def kv_write_token(kv: LayerKV, pages: jax.Array, offsets: jax.Array,
 
 def kv_write_pages(kv: LayerKV, slot_pages: jax.Array,
                    k_new: jax.Array, v_new: jax.Array) -> LayerKV:
-    """Write a full prompt's K/V (prefill).  slot_pages: (n_pages,);
-    k_new/v_new: (seq, kvh, d) with seq == n_pages * page_size."""
+    """Write full prompts' K/V (prefill).  slot_pages: ([b,] n_pages);
+    k_new/v_new: ([b,] seq, kvh, d) with seq == n_pages * page_size."""
     page = kv.page_size
-    n_pages = slot_pages.shape[0]
+    lead, n_pages = slot_pages.shape[:-1], slot_pages.shape[-1]
 
     def tile(x):
-        return x.reshape(n_pages, page, *x.shape[1:])
+        return x.reshape(*lead, n_pages, page, *x.shape[len(lead) + 1:])
 
     if kv.ks is None:
         return LayerKV(
