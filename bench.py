@@ -31,6 +31,9 @@ def main() -> None:
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--mode", type=str, default="pchol")
     ap.add_argument("--w_bits", type=int, default=4)
+    ap.add_argument("--sync_phases", action="store_true",
+                    help="fence the device after every phase for honest "
+                         "per-phase attribution (serializes the pipeline)")
     args = ap.parse_args()
 
     import jax
@@ -66,7 +69,7 @@ def main() -> None:
         """The per-layer quantization flow — the real pipeline path."""
         from tgq.utils.profiling import PhaseTimers
 
-        timers = timers or PhaseTimers()
+        timers = timers or PhaseTimers(sync=args.sync_phases)
         t0 = time.time()
         lp, outs, _, _ = quantize_layer(lp, cfg, inps, cos, sin, qcfg,
                                         timers=timers)

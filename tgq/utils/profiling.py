@@ -17,11 +17,20 @@ logger = logging.getLogger(__name__)
 
 
 class PhaseTimers:
-    """Accumulating named wall-clock timers."""
+    """Accumulating named wall-clock timers.
 
-    def __init__(self):
+    ``sync=True`` drains all device work before closing each phase so
+    per-phase attribution is honest (async dispatch otherwise charges
+    everything to whichever phase syncs first) — at the cost of
+    serializing the pipeline; leave off except when profiling.  A plain
+    ``block_until_ready`` can return early through a remote-attached
+    chip, so sync is a tiny host transfer.
+    """
+
+    def __init__(self, sync: bool = False):
         self.totals: dict[str, float] = defaultdict(float)
         self.counts: dict[str, int] = defaultdict(int)
+        self.sync = sync
 
     @contextlib.contextmanager
     def phase(self, name: str):
@@ -29,6 +38,13 @@ class PhaseTimers:
         try:
             yield
         finally:
+            if self.sync:
+                import numpy as np
+                import jax.numpy as jnp
+
+                # a TPU core runs programs in dispatch order, so fetching
+                # a freshly dispatched no-op drains everything before it
+                _ = np.asarray(jnp.zeros(()) + 1.0)
             dt = time.time() - t0
             self.totals[name] += dt
             self.counts[name] += 1
