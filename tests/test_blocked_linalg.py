@@ -40,3 +40,22 @@ def test_chunked_solves(rng):
     np.testing.assert_allclose(l @ x, b, rtol=1e-3, atol=1e-3)
     y = np.asarray(cho_solve_chunked(jnp.asarray(l), jnp.asarray(b), chunk=64))
     np.testing.assert_allclose(a @ y, b, rtol=5e-3, atol=5e-3)
+
+
+def test_blocked_triangular_inverse(rng):
+    from tgq.solver.blocked_linalg import (
+        blocked_triangular_inverse_lower,
+        cho_solve_gemm,
+    )
+
+    for n, block in ((96, 32), (160, 64), (64, 128)):  # ragged + passthrough
+        a = spd(rng, n)
+        l = scipy.linalg.cholesky(a, lower=True).astype(np.float32)
+        x = np.asarray(blocked_triangular_inverse_lower(jnp.asarray(l),
+                                                        block=block))
+        assert np.allclose(np.triu(x, 1), 0.0)
+        np.testing.assert_allclose(l @ x, np.eye(n), rtol=1e-3, atol=1e-3)
+        b = rng.normal(size=(n, 50)).astype(np.float32)
+        y = np.asarray(cho_solve_gemm(jnp.asarray(l), jnp.asarray(b),
+                                      block=block))
+        np.testing.assert_allclose(a @ y, b, rtol=5e-3, atol=5e-3)

@@ -173,13 +173,13 @@ def _pchol_factors_jit(lt: jax.Array, perm: jax.Array, rank: jax.Array,
     — precisely the full-width triangular factor the quantization loop
     wants (identity tail rows ⇒ RTN tail, cross-block preserved).
     """
-    from tgq.solver.blocked_linalg import blocked_cholesky_lower, cho_solve_chunked
+    from tgq.solver.blocked_linalg import blocked_cholesky_lower, cho_solve_gemm
 
     a, mask_r = _pf_gather(lt, perm, rank)
     g = _pf_gram(a, mask_r)
     cg = blocked_cholesky_lower(g)
     del g
-    k = cho_solve_chunked(cg, a)
+    k = cho_solve_gemm(cg, a)
     del cg
     if not want_rx:
         del a
