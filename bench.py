@@ -31,6 +31,8 @@ def main() -> None:
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--mode", type=str, default="pchol")
     ap.add_argument("--w_bits", type=int, default=4)
+    ap.add_argument("--kernel_backend", type=str, default="jnp",
+                    choices=("jnp", "pallas"))
     ap.add_argument("--sync_phases", action="store_true",
                     help="fence the device after every phase for honest "
                          "per-phase attribution (serializes the pipeline)")
@@ -48,7 +50,8 @@ def main() -> None:
     cfg = PRESETS["qwen3-8b"]
     qcfg = QuantizeConfig(mode=args.mode, w_bits=args.w_bits, group_size=128,
                           batch_size=args.batch_size, eps=1e-6,
-                          threshold_method="energy", log_rel_error=False)
+                          threshold_method="energy", log_rel_error=False,
+                          kernel_backend=args.kernel_backend)
     on_tpu = jax.default_backend() == "tpu"
     attn_impl = "flash" if on_tpu else "naive"
 

