@@ -123,3 +123,40 @@ def test_pchol_zero_hessian_safe():
     f = pchol_factor(np.zeros((16, 16)), eps=1e-6)
     assert np.isfinite(f.r_full).all()
     assert f.rank >= 1
+
+
+def test_pallas_panel_sweep_matches_jnp(rng):
+    """The Pallas panel kernel (interpret mode on CPU) reproduces the
+    jnp fori_loop sweep: same pivots, same trace history, same strip."""
+    from tgq.solver.pchol import _pivoted_cholesky_jit, _pivoted_cholesky_pallas
+
+    n = 256
+    h = jnp.asarray(make_h(rng, n, decay=0.97) + 1e-8 * np.eye(n), jnp.float32)
+    lt_j, perm_j, dh_j, ph_j = _pivoted_cholesky_jit(h, panel=128)
+    lt_p, perm_p, dh_p, ph_p = _pivoted_cholesky_pallas(h, panel=128,
+                                                        interpret=True)
+    np.testing.assert_array_equal(np.asarray(perm_p), np.asarray(perm_j))
+    np.testing.assert_allclose(np.asarray(dh_p), np.asarray(dh_j),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ph_p), np.asarray(ph_j),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lt_p), np.asarray(lt_j),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_pallas_panel_sweep_rank_deficient(rng):
+    """Exhausted-rank behavior matches: zero rows, consistent histories."""
+    from tgq.solver.pchol import _pivoted_cholesky_jit, _pivoted_cholesky_pallas
+
+    n = 256
+    h = jnp.asarray(make_h(rng, n, rank=64), jnp.float32)  # rank <= 64
+    lt_j, perm_j, dh_j, ph_j = _pivoted_cholesky_jit(h, panel=128)
+    lt_p, perm_p, dh_p, ph_p = _pivoted_cholesky_pallas(h, panel=128,
+                                                        interpret=True)
+    k = 48  # well inside the numerically resolvable prefix
+    np.testing.assert_array_equal(np.asarray(perm_p)[:k], np.asarray(perm_j)[:k])
+    np.testing.assert_allclose(np.asarray(dh_p), np.asarray(dh_j),
+                               rtol=1e-3, atol=1e-5)
+    rec = np.asarray(lt_p, np.float64)
+    np.testing.assert_allclose(rec.T @ rec, np.asarray(h, np.float64),
+                               rtol=0, atol=1e-4)

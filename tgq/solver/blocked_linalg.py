@@ -16,13 +16,16 @@ import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
+from tgq.utils.precision import best_f32_dot_precision
+
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
 def _dot(a, b):
     return jax.lax.dot_general(
         a, b, (((a.ndim - 1,), (0,)), ((), ())),
-        precision=_HIGHEST, preferred_element_type=jnp.float32,
+        precision=best_f32_dot_precision(),
+        preferred_element_type=jnp.float32,
     )
 
 

@@ -111,9 +111,12 @@ def _quantize_permuted(w_p, s_p, z_p, r_full, spec: QuantSpec, block_size: int,
         r1 = jax.lax.dynamic_slice(r_rows, (0, i1), (B, B))
         q1, e1 = block_fn(w1, s1, z1, r1, spec.min_q, spec.max_q)
         # propagate to strictly-later columns (full-width masked GEMM)
+        from tgq.utils.precision import best_f32_dot_precision
+
         cross = jnp.where((col_ids >= i1 + B)[None, :], r_rows, 0.0)
         delta = jax.lax.dot_general(
-            e1, cross, (((1,), (0,)), ((), ())), precision=_HIGHEST,
+            e1, cross, (((1,), (0,)), ((), ())),
+            precision=best_f32_dot_precision(),
             preferred_element_type=jnp.float32,
         )
         return w_cur - delta, q1

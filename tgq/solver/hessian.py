@@ -32,9 +32,20 @@ def _flatten_tokens(x: jax.Array) -> jax.Array:
 
 @partial(jax.jit, donate_argnums=0)
 def _accum_gram(h: jax.Array, x: jax.Array) -> jax.Array:
-    x = _flatten_tokens(x).astype(jnp.float32)
+    x = _flatten_tokens(x)
+    if x.dtype == jnp.bfloat16:
+        # Products of bf16 values are EXACT in the MXU's native
+        # bf16×bf16→f32 path (8-bit × 8-bit significands fit f32), so for
+        # bf16 calibration activations a single MXU pass loses nothing vs
+        # upcasting to f32 and paying the 6-pass HIGHEST GEMM — only the
+        # f32 summation order differs.  ~6× the Gram throughput on the
+        # pipeline's dominant flop block (≈105 TFLOP per Qwen3-8B layer).
+        precision = jax.lax.Precision.DEFAULT
+    else:
+        x = x.astype(jnp.float32)
+        precision = _HIGHEST
     return h + jax.lax.dot_general(
-        x, x, (((0,), (0,)), ((), ())), precision=_HIGHEST,
+        x, x, (((0,), (0,)), ((), ())), precision=precision,
         preferred_element_type=jnp.float32,
     )
 

@@ -44,6 +44,7 @@ import jax.scipy.linalg as jsl
 import numpy as np
 
 from tgq.solver.factorize import FactorResult
+from tgq.utils.precision import best_f32_dot_precision
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -51,7 +52,8 @@ _HIGHEST = jax.lax.Precision.HIGHEST
 def _dot(a, b):
     return jax.lax.dot_general(
         a, b, (((a.ndim - 1,), (0,)), ((), ())),
-        precision=_HIGHEST, preferred_element_type=jnp.float32,
+        precision=best_f32_dot_precision(),
+        preferred_element_type=jnp.float32,
     )
 
 
@@ -116,10 +118,62 @@ def _pivoted_cholesky_jit(h: jax.Array, panel: int = 128):
     return lt, perm, dhist, pivhist
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _apply_panel(a, strip):
+    return a - _dot(strip.T, strip)
+
+
+@jax.jit
+def _copy_f32(h):
+    return h.astype(jnp.float32) + 0.0  # fresh buffer (donation-safe)
+
+
+@partial(jax.jit, static_argnames=("panel", "interpret"))
+def _pivoted_cholesky_pallas(h: jax.Array, panel: int = 128,
+                             interpret: bool = False):
+    """Pallas-panel sweep — same contract as _pivoted_cholesky_jit.
+
+    Each 128-step panel runs as one VMEM-resident kernel
+    (tgq.kernels.pchol_panel); the trailing Schur update stays an XLA MXU
+    GEMM.  The whole panel chain is one jit (one dispatch) — eager
+    per-panel launches cost ~2-4 ms each through the runtime."""
+    from tgq.kernels.pchol_panel import pchol_panel
+
+    n = h.shape[0]
+    a = h.astype(jnp.float32)
+    d = jnp.diagonal(a)[None, :]
+    done = jnp.zeros((1, n), jnp.float32)
+    strips, perms, dhs, phs = [], [], [], []
+    num_panels = n // panel
+    for p in range(num_panels):
+        strip, d, done, perm, dh, ph = pchol_panel(
+            a, d, done, panel=panel, interpret=interpret)
+        if p + 1 < num_panels:
+            a = a - _dot(strip.T, strip)
+        strips.append(strip)
+        perms.append(perm)
+        dhs.append(dh)
+        phs.append(ph)
+    lt = jnp.concatenate(strips, axis=0)
+    perm = jnp.concatenate(perms, axis=1)[0]
+    dhist = jnp.concatenate(dhs, axis=1)[0]
+    pivhist = jnp.concatenate(phs, axis=1)[0]
+    return lt, perm, dhist, pivhist
+
+
+def _sweep(h: jax.Array, panel: int):
+    """Backend-selected pivoted-Cholesky sweep."""
+    n = h.shape[0]
+    if jax.default_backend() == "tpu" and panel == 128 and n % 128 == 0 \
+            and n >= 256:
+        return _pivoted_cholesky_pallas(h, panel=panel)
+    return _pivoted_cholesky_jit(h, panel=panel)
+
+
 def pivoted_cholesky(h, panel: int = 128):
     """Host-friendly wrapper; see _pivoted_cholesky_jit.  Returns
     (lt, perm, trace_hist) — use pchol_factor for the full solver."""
-    lt, perm, dhist, _ = _pivoted_cholesky_jit(jnp.asarray(h), panel=panel)
+    lt, perm, dhist, _ = _sweep(jnp.asarray(h), panel=panel)
     return lt, perm, dhist
 
 
@@ -228,7 +282,7 @@ def pchol_factor(
     """
     h = jnp.asarray(h)
     n = h.shape[0]
-    lt, perm, dhist, pivhist = _pivoted_cholesky_jit(h, panel=panel)
+    lt, perm, dhist, pivhist = _sweep(h, panel=panel)
     pivhist = np.asarray(pivhist, np.float64)
     if pivhist[0] <= 0.0:
         # degenerate Hessian (all-zero trace): identity fallback — every
@@ -249,7 +303,7 @@ def pchol_factor(
     except jax.errors.JaxRuntimeError:
         # fused build OOMed (lt was donated into the failed call — redo
         # the sweep) → low-memory eager chain
-        lt, _, _, _ = _pivoted_cholesky_jit(h, panel=panel)
+        lt, _, _, _ = _sweep(h, panel=panel)
         r_full, r_x = _pchol_factors_jit(lt, perm, jnp.int32(rank),
                                          want_rx=want_rx)
     return FactorResult(r_full=r_full, perm=perm, rank=rank, r_x=r_x)
