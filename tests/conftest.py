@@ -7,13 +7,18 @@ collective path without TPU hardware.
 """
 import os
 
-# Must be set before jax initializes its backends.
+# Must be set before jax initializes its backends.  The env var alone is
+# not enough: a sitecustomize module may import jax at interpreter start
+# (with JAX_PLATFORMS pointing at an accelerator plugin), which binds the
+# config value before this file runs — so also update the live config.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -272,7 +272,14 @@ def resolve_model(model_id: str, seed: int = 0):
     from transformers import AutoTokenizer
     from huggingface_hub import snapshot_download
 
-    local = snapshot_download(model_id, local_files_only=True)
+    try:
+        local = snapshot_download(model_id, local_files_only=True)
+    except Exception as e:
+        raise ValueError(
+            f"model_id {model_id!r} is not a tgq preset "
+            f"({', '.join(sorted(PRESETS))}), not a local directory, and "
+            f"not resolvable from the local HF cache: {e}"
+        ) from e
     params, cfg = load_hf_checkpoint(local)
     tokenizer = AutoTokenizer.from_pretrained(model_id, local_files_only=True)
     return params, cfg, tokenizer
