@@ -174,7 +174,8 @@ def test_kv_int8_roundtrip():
                         jnp.float32)
     kv = kv_write_pages(kv, jnp.arange(1, n_pages + 1), k_new, v_new)
     table = jnp.arange(1, n_pages + 1)[None, :]  # one slot, all pages
-    kg, vg = kv_gather(kv, table)
+    # f32 gather isolates the int8 storage error (serving gathers bf16)
+    kg, vg = kv_gather(kv, table, dtype=jnp.float32)
     for got, want in ((kg, k_new), (vg, v_new)):
         err = np.abs(np.asarray(got[0]) - np.asarray(want))
         amax = np.max(np.abs(np.asarray(want)), axis=-1, keepdims=True)

@@ -34,6 +34,9 @@ def mine_log(path: str) -> dict[str, list[float]]:
 
 
 def main(argv=None) -> int:
+    from tgq.utils.jax_setup import setup_jax
+
+    setup_jax()
     ap = argparse.ArgumentParser()
     ap.add_argument("roots", nargs="+", help="run directories to scan")
     ap.add_argument("--out", default="multi_run_summary.csv")

@@ -7,9 +7,12 @@ measures achieved bytes/s across the serving shapes of a model preset
 and reports the fraction of the chip's peak HBM bandwidth — the
 "speed-of-light" discipline the north star asks for (BASELINE.json).
 
-Timing forces a host transfer per rep: through a remote-attached chip
-``block_until_ready`` can return before execution completes, so we time
-``np.asarray`` of a 1-element slice (adds ~ms, amortized over reps).
+Timing runs all reps inside ONE jit as a ``fori_loop`` whose carry
+feeds each matmul's output back into the next input (a real data
+dependency, so XLA cannot hoist the matmul out of the loop), and
+fetches a single scalar.  Per-dispatch timing is hopeless through a
+remote-attached chip: the tunnel costs ~30 ms per dispatch and its
+``block_until_ready`` can return before execution completes.
 
 Usage:
   python -m tgq.cli.kernel_bench --model_id qwen3-8b --w_bits 4 --tokens 16
@@ -17,6 +20,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import time
 
@@ -34,6 +38,9 @@ def weight_bytes(in_f: int, out_f: int, bits: int, group: int) -> int:
 
 
 def main(argv=None) -> int:
+    from tgq.utils.jax_setup import setup_jax
+
+    setup_jax()
     ap = argparse.ArgumentParser()
     ap.add_argument("--model_id", default="qwen3-8b")
     ap.add_argument("--w_bits", type=int, default=4)
@@ -76,14 +83,25 @@ def main(argv=None) -> int:
         w = PackedLinear.from_codes(codes, scale, zero, spec)
         x = jax.random.normal(k2, (args.tokens, in_f), jnp.bfloat16)
 
-        fn = jax.jit(lambda x, w=w: quantized_matmul(x, w))
-        y = fn(x)
-        _ = np.asarray(y[:1, :1])  # compile + settle
+        @functools.partial(jax.jit, static_argnames="reps")
+        def many(x, reps, w=w):
+            def body(_, x):
+                y = quantized_matmul(x, w)
+                # scalar feedback: real data dependency, any out shape
+                return x + (jnp.sum(y) * 1e-12).astype(x.dtype)
+            out = jax.lax.fori_loop(0, reps, body, x)
+            return out[0, 0].astype(jnp.float32)
+
+        # Slope timing: t(2N) - t(N) cancels the fixed dispatch+fetch
+        # overhead (~30 ms through the tunnel) that would otherwise
+        # inflate the per-rep figure.
+        _ = float(many(x, args.reps))  # compile + settle
+        _ = float(many(x, 2 * args.reps))
         t0 = time.time()
-        for _ in range(args.reps):
-            y = fn(x)
-        _ = np.asarray(y[:1, :1])
-        dt = (time.time() - t0) / args.reps
+        t_n = float(many(x, args.reps)) * 0 + time.time() - t0
+        t0 = time.time()
+        t_2n = float(many(x, 2 * args.reps)) * 0 + time.time() - t0
+        dt = max(t_2n - t_n, 1e-9) / args.reps
         wb = weight_bytes(in_f, out_f, args.w_bits, args.group_size)
         gbps = wb / dt / 1e9
         rows.append({

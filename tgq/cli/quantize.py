@@ -20,6 +20,9 @@ import numpy as np
 
 
 def main(argv=None) -> int:
+    from tgq.utils.jax_setup import setup_jax
+
+    setup_jax()
     from tgq.cli.args import get_args
     from tgq.utils import setup_logging
 

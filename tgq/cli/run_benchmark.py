@@ -70,6 +70,9 @@ def run_experiment(exp: dict, base_args: list[str], out_root: str) -> dict:
 
 
 def main(argv=None) -> int:
+    from tgq.utils.jax_setup import setup_jax
+
+    setup_jax()
     ap = argparse.ArgumentParser()
     ap.add_argument("--model_id", default="qwen3-8b")
     ap.add_argument("--dataset", default="wikitext2")

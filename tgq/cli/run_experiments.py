@@ -11,6 +11,9 @@ from tgq.cli.run_benchmark import run_experiment
 
 
 def main(argv=None) -> int:
+    from tgq.utils.jax_setup import setup_jax
+
+    setup_jax()
     ap = argparse.ArgumentParser()
     ap.add_argument("--model_id", default="qwen3-8b")
     ap.add_argument("--dataset", default="wikitext2")

@@ -83,6 +83,9 @@ def load_or_make_model(args):
 
 
 def main(argv=None) -> int:
+    from tgq.utils.jax_setup import setup_jax
+
+    setup_jax()
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", default=None,
                     help="packed checkpoint dir (tgq.core.checkpoint)")

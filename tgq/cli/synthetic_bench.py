@@ -40,6 +40,9 @@ def make_activations(kind: str, rng, n_tokens: int, n_features: int,
 
 
 def main(argv=None) -> int:
+    from tgq.utils.jax_setup import setup_jax
+
+    setup_jax()
     ap = argparse.ArgumentParser()
     ap.add_argument("--n_tokens", type=int, default=16384)
     ap.add_argument("--n_features", type=int, default=512)

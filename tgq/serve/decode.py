@@ -79,12 +79,15 @@ def _decode_layer(lp, cfg: ModelConfig, x, kv: LayerKV, cos_tab, sin_tab,
     # the query heads sharing a KV head into a group axis g
     qg = q.reshape(slots, cfg.num_kv_heads, rep, cfg.head_dim)
     scale = 1.0 / jnp.sqrt(jnp.float32(cfg.head_dim))
-    logits = jnp.einsum("skgd,stkd->skgt", qg.astype(jnp.float32),
-                        kg, precision=jax.lax.Precision.DEFAULT) * scale
+    # bf16 operands, f32 accumulation: the gathered K/V views and the
+    # probs matrix dominate decode-attention HBM traffic
+    logits = jnp.einsum("skgd,stkd->skgt", qg.astype(kg.dtype), kg,
+                        preferred_element_type=jnp.float32) * scale
     t_ids = jnp.arange(kg.shape[1])[None, None, None, :]
     mask = t_ids < lens[:, None, None, None]
     probs = jax.nn.softmax(jnp.where(mask, logits, -1e30), axis=-1)
-    attn = jnp.einsum("skgt,stkd->skgd", probs, vg
+    attn = jnp.einsum("skgt,stkd->skgd", probs.astype(vg.dtype), vg,
+                      preferred_element_type=jnp.float32
                       ).reshape(slots, cfg.num_heads, cfg.head_dim)
     x = x + apply_linear(lp["self_attn"]["o_proj"],
                          attn.reshape(slots, cfg.q_size).astype(x.dtype))
