@@ -158,24 +158,26 @@ def test_eos_stopping(params):
 def test_kv_int8_roundtrip():
     """int8 per-token-per-head KV storage reconstructs within absmax
     quantization error (≤ scale/2 per element ⇒ rel err ~0.4%)."""
-    from tgq.serve.kv_cache import LayerKV, kv_gather, kv_write_pages
+    from tgq.serve.kv_cache import (PagedKVCache, kv_gather, kv_write_pages,
+                                    scale_pad)
 
     rng = np.random.default_rng(0)
-    page, kvh, d, n_pages = 8, 2, 16, 4
-    kv = LayerKV(
-        k=jnp.zeros((n_pages + 1, page, kvh, d), jnp.int8),
-        v=jnp.zeros((n_pages + 1, page, kvh, d), jnp.int8),
-        ks=jnp.zeros((n_pages + 1, page, kvh), jnp.float32),
-        vs=jnp.zeros((n_pages + 1, page, kvh), jnp.float32),
+    page, kvh, d, n_pages, layers = 8, 2, 16, 4, 2
+    cache = PagedKVCache(
+        k=jnp.zeros((layers, n_pages + 1, page, kvh * d), jnp.int8),
+        v=jnp.zeros((layers, n_pages + 1, page, kvh * d), jnp.int8),
+        ks=jnp.zeros((layers, n_pages + 1, kvh, scale_pad(page)), jnp.float32),
+        vs=jnp.zeros((layers, n_pages + 1, kvh, scale_pad(page)), jnp.float32),
+        num_kv_heads=kvh,
     )
     k_new = jnp.asarray(rng.standard_normal((n_pages * page, kvh, d)),
                         jnp.float32)
     v_new = jnp.asarray(rng.standard_normal((n_pages * page, kvh, d)),
                         jnp.float32)
-    kv = kv_write_pages(kv, jnp.arange(1, n_pages + 1), k_new, v_new)
+    cache = kv_write_pages(cache, 1, jnp.arange(1, n_pages + 1), k_new, v_new)
     table = jnp.arange(1, n_pages + 1)[None, :]  # one slot, all pages
     # f32 gather isolates the int8 storage error (serving gathers bf16)
-    kg, vg = kv_gather(kv, table, dtype=jnp.float32)
+    kg, vg = kv_gather(cache, 1, table, dtype=jnp.float32)
     for got, want in ((kg, k_new), (vg, v_new)):
         err = np.abs(np.asarray(got[0]) - np.asarray(want))
         amax = np.max(np.abs(np.asarray(want)), axis=-1, keepdims=True)

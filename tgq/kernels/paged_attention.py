@@ -1,0 +1,298 @@
+"""Fused paged decode attention — Pallas TPU kernel.
+
+Decode attention over the serving engine's paged KV pools.  The XLA
+fallback path (tgq.serve.kv_cache.kv_gather + einsums) materializes the
+gathered K/V views and the probability matrix in HBM every step — at 64
+slots × 256-token contexts that traffic dwarfs the packed-weight reads.
+This kernel streams pages HBM→VMEM with double-buffered async copies and
+runs the flash-style online-softmax accumulation entirely on-chip: per
+decode step the attention path reads exactly the live KV bytes.
+
+TPU-first design (differs from jax.experimental.pallas.ops.tpu
+.paged_attention, whose cross-program DMA-prefetch scheme this follows):
+
+- **One grid program per slot, one MXU dot per page for ALL heads.**
+  Pools keep the engine's token-major page layout ``(layers, num_pages,
+  page_size, kv_heads·head_dim)`` so each page is a single contiguous
+  2-D DMA covering every KV head.  Queries are packed block-diagonally —
+  ``Q'[h, g·d:(g+1)·d] = q[h]`` for h's KV group g — so one
+  (num_q_heads × kvh·d) @ (kvh·d × page) dot yields all heads' logits
+  for the page.  The off-diagonal FLOPs are free next to DMA time, and
+  the grid shrinks from batch×kvh×blocks tiny-dot programs to `batch`
+  MXU-shaped ones.
+- **Layer-indexed stacked pools.**  Pools arrive stacked over layers
+  plus a scalar layer index; the per-layer ``lax.scan`` over a stacked
+  cache never slices the pool arrays (XLA would materialize a full
+  per-layer pool copy every layer, every step).
+- **Scales on logits, not elements.**  int8 storage carries
+  per-token-per-head absmax scales ``(layers, num_pages, kv_heads,
+  page_size)`` f32.  Since ``q·(s∘k) = s·(q·k)`` and
+  ``p@(s∘v) = (p∘s)@v``, the scales multiply the (heads × page) logits
+  and probs — lane-aligned, 16× less VPU work than dequantizing K/V
+  element-wise, and no pre-broadcast scale traffic (the upstream kernel
+  broadcasts scales to head_dim before the call).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+class _PageCopy:
+    """Async HBM→VMEM copy of one slot-page (K or V, + scales)."""
+
+    def __init__(self, pool_ref, scales_ref, vmem, scales_vmem, sem,
+                 page_indices_ref, flat_idx, layer):
+        p = page_indices_ref[flat_idx]
+        self._copies = [pltpu.make_async_copy(
+            pool_ref.at[layer, p], vmem, sem)]
+        if scales_ref is not None:
+            self._copies.append(pltpu.make_async_copy(
+                scales_ref.at[layer, p], scales_vmem, sem))
+
+    def start(self):
+        for c in self._copies:
+            c.start()
+
+    def wait(self):
+        for c in self._copies:
+            c.wait()
+
+
+def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
+            init_flag_ref,
+            q_ref, k_ref, ks_ref, v_ref, vs_ref,
+            o_ref,
+            k_vmem, ks_vmem, v_vmem, vs_vmem, k_sems, v_sems, *,
+            batch_size: int, pages_per_sequence: int, num_kv_heads: int,
+            mask_value: float, attn_logits_soft_cap: float | None):
+    b = pl.program_id(0)
+    page_size = k_ref.shape[-2]
+    fused = k_ref.shape[-1]                      # kv_heads * head_dim
+    head_dim = fused // num_kv_heads
+    layer = layer_ref[0]
+    length = lengths_ref[b]
+    num_q_heads = q_ref.shape[0]
+    group = num_q_heads // num_kv_heads
+    quantized = ks_ref is not None
+
+    o_ref[...] = jnp.zeros_like(o_ref)
+
+    def n_pages_of(bb):
+        return lax.div(lengths_ref[bb] + page_size - 1, page_size)
+
+    def next_block(b, i):
+        """First (b', i') with work at/after page i of slot b."""
+        def advance_b():
+            nb = lax.fori_loop(
+                b + 1, batch_size,
+                lambda _, bb: jnp.where(
+                    lengths_ref[lax.clamp(0, bb, batch_size - 1)] == 0,
+                    bb + 1, bb),
+                b + 1)
+            return nb, 0
+
+        return lax.cond(i < n_pages_of(b), lambda: (b, i), advance_b)
+
+    def make_copies(b, i, buf):
+        flat = b * pages_per_sequence + i
+        ck = _PageCopy(k_ref, ks_ref, k_vmem.at[buf],
+                       None if ks_vmem is None else ks_vmem.at[buf],
+                       k_sems.at[buf], page_indices_ref, flat, layer)
+        cv = _PageCopy(v_ref, vs_ref, v_vmem.at[buf],
+                       None if vs_vmem is None else vs_vmem.at[buf],
+                       v_sems.at[buf], page_indices_ref, flat, layer)
+        return ck, cv
+
+    # block-diagonal queries: Q'[h, g(h)*d:(g(h)+1)*d] = q[h]
+    q = q_ref[...].astype(jnp.float32)           # (H, d)
+    q_tiled = jnp.concatenate([q] * num_kv_heads, axis=1)   # (H, kvh*d)
+    row_g = lax.broadcasted_iota(jnp.int32, (num_q_heads, fused), 0) // group
+    lane_g = lax.broadcasted_iota(jnp.int32, (num_q_heads, fused), 1) \
+        // head_dim
+    qd = jnp.where(row_g == lane_g, q_tiled, 0.0)           # (H, kvh*d)
+
+    def expand_rows(s):
+        """(kvh, spad) → (H, page): repeat each KV head's row `group`×,
+        dropping the 128-lane DMA padding."""
+        rows = jnp.concatenate(
+            [s[g:g + 1] for g in range(num_kv_heads) for _ in range(group)],
+            axis=0)
+        return rows[:, :page_size] if rows.shape[1] != page_size else rows
+
+    def block_body(i, carry):
+        m_prev, l_prev, acc = carry
+        buf = buffer_index_ref[0]
+        init_flag = init_flag_ref[0]
+        init_flag_ref[0] = 0
+
+        # only the first live block in the whole grid starts its own
+        # copies; every block prefetches its successor's (the SMEM
+        # buffer_index/init_flag persist across grid programs)
+        @pl.when(init_flag)
+        def _():
+            ck, cv = make_copies(b, i, buf)
+            ck.start()
+            cv.start()
+
+        nb, ni = next_block(b, i + 1)
+
+        @pl.when(nb < batch_size)
+        def _():
+            nbuf = jnp.where(buf == 0, 1, 0)
+            ck, cv = make_copies(nb, ni, nbuf)
+            ck.start()
+            cv.start()
+            buffer_index_ref[0] = nbuf
+
+        ck, cv = make_copies(b, i, buf)
+        ck.wait()
+        k = k_vmem[buf].astype(jnp.float32)      # (page, kvh*d)
+        qk = jax.lax.dot_general(qd, k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+        if quantized:
+            qk = qk * expand_rows(ks_vmem[buf])  # (H, page) lane-aligned
+        if attn_logits_soft_cap is not None:
+            qk = jnp.tanh(qk / attn_logits_soft_cap) * attn_logits_soft_cap
+        t = i * page_size + lax.broadcasted_iota(jnp.int32, qk.shape, 1)
+        qk = qk + jnp.where(t < length, 0.0, mask_value)
+
+        m_curr = qk.max(axis=-1)[:, None]        # (H, 1)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(qk - m_next)                 # (H, page)
+        l_next = l_prev * alpha + p.sum(axis=-1)[:, None]
+
+        cv.wait()
+        v = v_vmem[buf].astype(jnp.float32)      # (page, kvh*d)
+        if quantized:
+            p_v = p * expand_rows(vs_vmem[buf])
+        else:
+            p_v = p
+        o_curr = jax.lax.dot_general(p_v, v, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32,
+                                     precision=jax.lax.Precision.HIGHEST)
+        return m_next, l_next, acc * alpha + o_curr
+
+    m0 = jnp.full((num_q_heads, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((num_q_heads, 1), jnp.float32)
+    acc0 = jnp.zeros((num_q_heads, fused), jnp.float32)
+    _, l_fin, acc = lax.fori_loop(0, n_pages_of(b), block_body,
+                                  (m0, l0, acc0))
+
+    @pl.when(length > 0)
+    def _():
+        # extract each head's diagonal block: o[h] = acc[h, g(h)*d:...]
+        row_sel = lax.broadcasted_iota(
+            jnp.int32, (num_q_heads, head_dim), 0) // group
+        out = jnp.zeros((num_q_heads, head_dim), jnp.float32)
+        for g in range(num_kv_heads):
+            blk = acc[:, g * head_dim:(g + 1) * head_dim]
+            out = out + jnp.where(row_sel == g, blk, 0.0)
+        o_ref[...] = (out / l_fin).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_kv_heads", "mask_value", "attn_logits_soft_cap"),
+)
+def paged_decode_attention(
+    q: jax.Array,
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    k_scales: jax.Array | None,
+    v_scales: jax.Array | None,
+    layer: jax.Array,
+    lengths: jax.Array,
+    page_indices: jax.Array,
+    *,
+    num_kv_heads: int,
+    mask_value: float = DEFAULT_MASK_VALUE,
+    attn_logits_soft_cap: float | None = None,
+) -> jax.Array:
+    """Decode attention for one layer of layer-stacked paged KV pools.
+
+    Args:
+      q: (batch, num_q_heads, head_dim) — pre-scaled by 1/sqrt(head_dim).
+      k_pages/v_pages: (layers, num_pages, page_size, kv_heads*head_dim),
+        bf16 (k_scales None) or int8 (with scales).
+      k_scales/v_scales: (layers, num_pages, kv_heads, scale_pad) f32
+        per-token-per-head multipliers with the token dim lane-padded to
+        a multiple of 128 (DMA slices need 128-aligned lane extents);
+        entries beyond page_size are ignored.  None for float storage.
+      layer: scalar int32 — which layer's pools to attend against.
+      lengths: (batch,) int32 — live context length per slot (0 = idle;
+        idle slots return zeros).
+      page_indices: (batch, pages_per_sequence) int32 physical pages.
+
+    Returns (batch, num_q_heads, head_dim) in q.dtype.
+    """
+    batch, num_q_heads, head_dim = q.shape
+    layers, _, page_size, fused = k_pages.shape
+    _, pages_per_sequence = page_indices.shape
+    assert fused == num_kv_heads * head_dim, (fused, num_kv_heads, head_dim)
+    assert num_q_heads % num_kv_heads == 0, (num_q_heads, num_kv_heads)
+
+    quantized = k_scales is not None
+    if quantized:
+        spad = k_scales.shape[-1]
+        assert spad % 128 == 0 and spad >= page_size, (spad, page_size)
+    io_spec = pl.BlockSpec((None, num_q_heads, head_dim),
+                           lambda b, *_: (b, 0, 0))
+    kv_buf = pltpu.VMEM((2, page_size, fused), k_pages.dtype)
+    scale_buf = (pltpu.VMEM((2, num_kv_heads, spad), jnp.float32)
+                 if quantized else None)
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel,
+            batch_size=batch,
+            pages_per_sequence=pages_per_sequence,
+            num_kv_heads=num_kv_heads,
+            mask_value=mask_value,
+            attn_logits_soft_cap=attn_logits_soft_cap,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            # lengths, page_indices, layer, buffer_index, init_flag
+            num_scalar_prefetch=5,
+            in_specs=[
+                io_spec,
+                any_spec,
+                any_spec if quantized else None,
+                any_spec,
+                any_spec if quantized else None,
+            ],
+            out_specs=io_spec,
+            grid=(batch,),
+            scratch_shapes=(
+                kv_buf, scale_buf, kv_buf, scale_buf,
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, num_q_heads, head_dim), jnp.float32),
+    )(
+        lengths.astype(jnp.int32),
+        page_indices.reshape(-1).astype(jnp.int32),
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        jnp.zeros((1,), jnp.int32),
+        jnp.ones((1,), jnp.int32),
+        q.astype(jnp.float32),
+        k_pages,
+        k_scales if quantized else None,
+        v_pages,
+        v_scales if quantized else None,
+    )
+    return out.astype(q.dtype)

@@ -2,9 +2,20 @@
 
 Decode processes all slots every step (inactive slots compute garbage
 that is masked on the host) — static shapes, one compiled step reused
-for the whole serving lifetime.  Attention gathers each slot's pages and
-masks by true length; quantized linears route through the fused
-dequant-matmul kernel automatically (tgq.models.causal_lm.apply_linear).
+for the whole serving lifetime.
+
+The cache is **carried** through the layer loop (a ``lax.scan`` over
+stacked layer params with the layer index as xs) and every KV write is
+a layer-indexed dynamic-update-slice on the stacked pools: the scan
+never slices a layer's pools out of the stack, which would materialize
+a full per-layer pool copy every layer, every step.
+
+Attention backends (``attn_impl``):
+- ``"kernel"`` — fused Pallas paged attention (tgq.kernels
+  .paged_attention): streams pages HBM→VMEM, int8 dequant via logit
+  scaling, flash accumulation on-chip.  Single-device TPU.
+- ``"gather"`` — XLA gather + einsums (CPU tests, TP-sharded serving
+  where a Pallas custom call cannot be auto-partitioned).
 """
 from __future__ import annotations
 
@@ -23,7 +34,6 @@ from tgq.models.causal_lm import (
 )
 from tgq.models.config import ModelConfig
 from tgq.serve.kv_cache import (
-    LayerKV,
     PagedKVCache,
     kv_gather,
     kv_write_pages,
@@ -44,6 +54,14 @@ def stack_layer_params(params):
     return out
 
 
+def default_attn_impl(mesh=None) -> str:
+    """Fused kernel on single-device TPU; XLA gather path elsewhere
+    (CPU, or TP meshes where a custom call cannot be auto-partitioned)."""
+    if jax.default_backend() == "tpu" and mesh is None:
+        return "kernel"
+    return "gather"
+
+
 def _rope_at(cos_tab, sin_tab, pos, x):
     """Apply rotary at per-slot positions.  x: (slots, heads, d); pos: (slots,)."""
     half = x.shape[-1] // 2
@@ -54,10 +72,27 @@ def _rope_at(cos_tab, sin_tab, pos, x):
     return (x.astype(jnp.float32) * cos + rot.astype(jnp.float32) * sin).astype(x.dtype)
 
 
-def _decode_layer(lp, cfg: ModelConfig, x, kv: LayerKV, cos_tab, sin_tab,
-                  pos, pages, offsets, table, lens):
-    """One decoder layer's decode for all slots against its own KV pools
-    (LayerKV — bf16 or int8+scales).  Returns (x, kv)."""
+def _gather_attention(cfg: ModelConfig, q, cache, li, table, lens):
+    """XLA fallback: gathered-KV attention with bf16 operands."""
+    slots = q.shape[0]
+    kg, vg = kv_gather(cache, li, table)
+    rep = cfg.num_heads // cfg.num_kv_heads
+    qg = q.reshape(slots, cfg.num_kv_heads, rep, cfg.head_dim)
+    scale = 1.0 / jnp.sqrt(jnp.float32(cfg.head_dim))
+    logits = jnp.einsum("skgd,stkd->skgt", qg.astype(kg.dtype), kg,
+                        preferred_element_type=jnp.float32) * scale
+    t_ids = jnp.arange(kg.shape[1])[None, None, None, :]
+    mask = t_ids < lens[:, None, None, None]
+    probs = jax.nn.softmax(jnp.where(mask, logits, -1e30), axis=-1)
+    return jnp.einsum("skgt,stkd->skgd", probs.astype(vg.dtype), vg,
+                      preferred_element_type=jnp.float32
+                      ).reshape(slots, cfg.num_heads, cfg.head_dim)
+
+
+def _decode_layer(lp, li, cfg: ModelConfig, x, cache: PagedKVCache,
+                  cos_tab, sin_tab, pos, pages, offsets, table, lens,
+                  attn_impl: str):
+    """One decoder layer's decode for all slots.  Returns (x, cache)."""
     slots = x.shape[0]
     h = rms_norm(x, lp["input_layernorm"]["weight"], cfg.rms_norm_eps)
     q = apply_linear(lp["self_attn"]["q_proj"], h).reshape(
@@ -71,35 +106,30 @@ def _decode_layer(lp, cfg: ModelConfig, x, kv: LayerKV, cos_tab, sin_tab,
         k = rms_norm(k, lp["self_attn"]["k_norm"]["weight"], cfg.rms_norm_eps)
     q = _rope_at(cos_tab, sin_tab, pos, q)
     k = _rope_at(cos_tab, sin_tab, pos, k)
-    kv = kv_write_token(kv, pages, offsets, k, v)
-    # gather this slot's pages (dequantizing int8 storage) and attend
-    kg, vg = kv_gather(kv, table)
-    rep = cfg.num_heads // cfg.num_kv_heads
-    # grouped-query attention without materializing repeated K/V: fold
-    # the query heads sharing a KV head into a group axis g
-    qg = q.reshape(slots, cfg.num_kv_heads, rep, cfg.head_dim)
-    scale = 1.0 / jnp.sqrt(jnp.float32(cfg.head_dim))
-    # bf16 operands, f32 accumulation: the gathered K/V views and the
-    # probs matrix dominate decode-attention HBM traffic
-    logits = jnp.einsum("skgd,stkd->skgt", qg.astype(kg.dtype), kg,
-                        preferred_element_type=jnp.float32) * scale
-    t_ids = jnp.arange(kg.shape[1])[None, None, None, :]
-    mask = t_ids < lens[:, None, None, None]
-    probs = jax.nn.softmax(jnp.where(mask, logits, -1e30), axis=-1)
-    attn = jnp.einsum("skgt,stkd->skgd", probs.astype(vg.dtype), vg,
-                      preferred_element_type=jnp.float32
-                      ).reshape(slots, cfg.num_heads, cfg.head_dim)
+    cache = kv_write_token(cache, li, pages, offsets, k, v)
+
+    if attn_impl == "kernel":
+        from tgq.kernels.paged_attention import paged_decode_attention
+
+        scale = 1.0 / jnp.sqrt(jnp.float32(cfg.head_dim))
+        attn = paged_decode_attention(
+            (q * scale).astype(jnp.float32), cache.k, cache.v,
+            cache.ks, cache.vs, li, lens, table,
+            num_kv_heads=cfg.num_kv_heads)
+    else:
+        attn = _gather_attention(cfg, q, cache, li, table, lens)
+
     x = x + apply_linear(lp["self_attn"]["o_proj"],
                          attn.reshape(slots, cfg.q_size).astype(x.dtype))
     h2 = rms_norm(x, lp["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
     gate = apply_linear(lp["mlp"]["gate_proj"], h2)
     up = apply_linear(lp["mlp"]["up_proj"], h2)
     x = x + apply_linear(lp["mlp"]["down_proj"], jax.nn.silu(gate) * up)
-    return x, kv
+    return x, cache
 
 
 def _decode_core(params, cache: PagedKVCache, cfg: ModelConfig,
-                 table, lens, tokens, pos):
+                 table, lens, tokens, pos, attn_impl: str):
     """One token for every slot.
 
     table: (slots, mpps) int32; lens: (slots,) lengths *including* the
@@ -107,9 +137,9 @@ def _decode_core(params, cache: PagedKVCache, cfg: ModelConfig,
     (slots,) its position (= lens - 1).  Returns (logits, cache).
 
     Stacked layer params (see ``stack_layer_params``) run as one
-    ``lax.scan`` over layers — one traced layer body regardless of depth
-    (36× less tracing/compile for Qwen3-8B); a plain per-layer list
-    falls back to a python loop.
+    ``lax.scan`` over (layer params, layer index) — one traced layer
+    body regardless of depth; a plain per-layer list falls back to a
+    python loop.
     """
     page = cache.page_size
     slots = tokens.shape[0]
@@ -121,27 +151,30 @@ def _decode_core(params, cache: PagedKVCache, cfg: ModelConfig,
     layers = params["model"]["layers"]
     if isinstance(layers, list):
         for li, lp in enumerate(layers):
-            x, kv = _decode_layer(lp, cfg, x, cache.layer(li),
-                                  cos_tab, sin_tab, pos, pages, offsets,
-                                  table, lens)
-            cache = cache.set_layer(li, kv)
+            x, cache = _decode_layer(lp, li, cfg, x, cache, cos_tab, sin_tab,
+                                     pos, pages, offsets, table, lens,
+                                     attn_impl)
     else:
-        def body(x, xs):
-            lp, kv = xs
-            x, kv = _decode_layer(lp, cfg, x, kv, cos_tab, sin_tab, pos,
-                                  pages, offsets, table, lens)
-            return x, kv
+        n_layers = jax.tree.leaves(layers)[0].shape[0]
 
-        x, kv_new = jax.lax.scan(body, x, (layers, cache.stacked()))
-        cache = PagedKVCache.from_stacked(kv_new)
+        def body(carry, xs):
+            x, cache = carry
+            lp, li = xs
+            x, cache = _decode_layer(lp, li, cfg, x, cache, cos_tab, sin_tab,
+                                     pos, pages, offsets, table, lens,
+                                     attn_impl)
+            return (x, cache), None
+
+        (x, cache), _ = jax.lax.scan(
+            body, (x, cache), (layers, jnp.arange(n_layers)))
 
     x = apply_final_norm(params, cfg, x[:, None])[:, 0]
     logits = lm_logits(params, cfg, x[:, None])[:, 0]
     return logits, cache
 
 
-decode_step = partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))(
-    _decode_core)
+decode_step = partial(jax.jit, static_argnames=("cfg", "attn_impl"),
+                      donate_argnums=(1,))(_decode_core)
 
 
 def _sample_tokens(logits, temps, key):
@@ -155,9 +188,11 @@ def _sample_tokens(logits, temps, key):
     return jnp.where(temps > 0, sampled, greedy), key
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_steps"), donate_argnums=(1,))
+@partial(jax.jit, static_argnames=("cfg", "n_steps", "attn_impl"),
+         donate_argnums=(1,))
 def decode_steps(params, cache: PagedKVCache, cfg: ModelConfig,
-                 table, lens, tokens, pos, temps, key, n_steps: int):
+                 table, lens, tokens, pos, temps, key, n_steps: int,
+                 attn_impl: str = "gather"):
     """``n_steps`` tokens for every slot with zero host round-trips.
 
     The per-step host sync (sampled-token D2H + full-logits transfer)
@@ -173,7 +208,8 @@ def decode_steps(params, cache: PagedKVCache, cfg: ModelConfig,
     """
     def step(carry, _):
         cache, tok, lens, pos, key = carry
-        logits, cache = _decode_core(params, cache, cfg, table, lens, tok, pos)
+        logits, cache = _decode_core(params, cache, cfg, table, lens, tok,
+                                     pos, attn_impl)
         tok, key = _sample_tokens(logits, temps, key)
         return (cache, tok, lens + 1, pos + 1, key), tok
 
@@ -182,9 +218,9 @@ def decode_steps(params, cache: PagedKVCache, cfg: ModelConfig,
     return toks, cache, key
 
 
-def _prefill_layer(lp, cfg: ModelConfig, x, kv: LayerKV, cos, sin,
-                   slot_pages, attn_impl: str):
-    """One layer of single-prompt prefill against its KV pools."""
+def _prefill_layer(lp, li, cfg: ModelConfig, x, cache: PagedKVCache,
+                   cos, sin, slot_pages, attn_impl: str):
+    """One layer of batched prefill; writes pages, attends in-activation."""
     from tgq.models.causal_lm import apply_rope, causal_attention
 
     b, seq, _ = x.shape
@@ -200,7 +236,7 @@ def _prefill_layer(lp, cfg: ModelConfig, x, kv: LayerKV, cos, sin,
         k = rms_norm(k, lp["self_attn"]["k_norm"]["weight"], cfg.rms_norm_eps)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    kv = kv_write_pages(kv, slot_pages, k, v)  # (b, n_pages) pages
+    cache = kv_write_pages(cache, li, slot_pages, k, v)
     attn = causal_attention(q, k, v, impl=attn_impl)
     x = x + apply_linear(lp["self_attn"]["o_proj"],
                          attn.reshape(b, seq, cfg.q_size).astype(x.dtype))
@@ -208,7 +244,7 @@ def _prefill_layer(lp, cfg: ModelConfig, x, kv: LayerKV, cos, sin,
     gate = apply_linear(lp["mlp"]["gate_proj"], h2)
     up = apply_linear(lp["mlp"]["up_proj"], h2)
     x = x + apply_linear(lp["mlp"]["down_proj"], jax.nn.silu(gate) * up)
-    return x, kv
+    return x, cache
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
@@ -217,9 +253,7 @@ def prefill(params, cache: PagedKVCache, cfg: ModelConfig,
     """Process one prompt (padded to a page multiple) and fill its pages.
 
     slot_pages: (n_pages,) physical pages; input_ids: (1, seq_pad);
-    true_len: scalar — returns (last-token logits, cache).  Stacked
-    layer params run as one lax.scan (see decode_step).
-    """
+    true_len: scalar — returns (last-token logits, cache)."""
     logits, cache = _prefill_core(params, cache, cfg, slot_pages[None],
                                   input_ids, true_len[None])
     return logits[0], cache
@@ -240,18 +274,20 @@ def _prefill_core(params, cache: PagedKVCache, cfg: ModelConfig,
     layers = params["model"]["layers"]
     if isinstance(layers, list):
         for li, lp in enumerate(layers):
-            x, kv = _prefill_layer(lp, cfg, x, cache.layer(li),
-                                   cos, sin, slot_pages, attn_impl)
-            cache = cache.set_layer(li, kv)
+            x, cache = _prefill_layer(lp, li, cfg, x, cache, cos, sin,
+                                      slot_pages, attn_impl)
     else:
-        def body(x, xs):
-            lp, kv = xs
-            x, kv = _prefill_layer(lp, cfg, x, kv, cos, sin, slot_pages,
-                                   attn_impl)
-            return x, kv
+        n_layers = jax.tree.leaves(layers)[0].shape[0]
 
-        x, kv_new = jax.lax.scan(body, x, (layers, cache.stacked()))
-        cache = PagedKVCache.from_stacked(kv_new)
+        def body(carry, xs):
+            x, cache = carry
+            lp, li = xs
+            x, cache = _prefill_layer(lp, li, cfg, x, cache, cos, sin,
+                                      slot_pages, attn_impl)
+            return (x, cache), None
+
+        (x, cache), _ = jax.lax.scan(
+            body, (x, cache), (layers, jnp.arange(n_layers)))
 
     x = apply_final_norm(params, cfg, x)
     last = x[jnp.arange(b), true_len - 1][:, None]

@@ -85,17 +85,27 @@ class Engine:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from tgq.parallel import shard_params
+            import dataclasses as _dc
 
             self.params = shard_params(params, mesh)
-            # pools shard on the kv-head axis: (L, P, page, kvh[, d])
-            shard5 = NamedSharding(mesh, P(None, None, None, "model", None))
-            shard4 = NamedSharding(mesh, P(None, None, None, "model"))
-            self.cache = jax.tree.map(
-                lambda a: jax.device_put(a, shard5 if a.ndim == 5 else shard4),
-                cache)
+            # pools shard on the kv-head axis: k/v (L, P, page, kvh·d)
+            # shard the fused head dim; scales (L, P, kvh, spad) shard
+            # the head dim directly
+            kv_sh = NamedSharding(mesh, P(None, None, None, "model"))
+            s_sh = NamedSharding(mesh, P(None, None, "model", None))
+            self.cache = _dc.replace(
+                cache,
+                k=jax.device_put(cache.k, kv_sh),
+                v=jax.device_put(cache.v, kv_sh),
+                ks=None if cache.ks is None else jax.device_put(cache.ks, s_sh),
+                vs=None if cache.vs is None else jax.device_put(cache.vs, s_sh),
+            )
         else:
             self.params = params
             self.cache = cache
+        from tgq.serve.decode import default_attn_impl
+
+        self.attn_impl = default_attn_impl(mesh)
         self.pt = PageTable(scfg.num_pages, scfg.page_size, scfg.max_slots,
                             scfg.max_pages_per_slot)
         self.slots: list[Optional[Request]] = [None] * scfg.max_slots
@@ -253,6 +263,7 @@ class Engine:
             self.params, self.cache, self.cfg, table,
             jnp.asarray(lens0 + 1), jnp.asarray(tokens),
             jnp.asarray(lens0), jnp.asarray(temps), self.key, n,
+            self.attn_impl,
         )
         toks = np.asarray(toks)  # (n, slots) — the only D2H this tick
         self.decode_wall_s += time.time() - t0

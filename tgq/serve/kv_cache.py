@@ -3,20 +3,27 @@
 The reference has no serving side at all (SURVEY.md §0); this is the
 BASELINE.json north-star component, built jax-native:
 
-- one global **page pool** per layer: (num_pages, page_size, kv_heads,
-  head_dim) for K and V, living on device (sharded on the "model" axis
-  by head under TP).  Storage is bf16, or **int8 with per-token-per-head
-  absmax scales** (`kv_bits=8`, KIVI/InnerQ-style tuning-free KV
-  quantization — PAPERS.md): halves decode-attention HBM traffic and
-  doubles the contexts that fit, with dequantization fused into the
-  attention gather;
+- one global **page pool** stacked over layers: K and V of shape
+  ``(layers, num_pages, page_size, kv_heads·head_dim)`` living on device
+  (sharded on the "model" axis by head under TP).  The head and feature
+  dims stay fused so one page is a single contiguous 2-D block — the
+  paged-attention kernel DMAs it in one async copy covering every KV
+  head (tgq.kernels.paged_attention).  Storage is bf16, or **int8 with
+  per-token-per-head absmax scales** (``kv_bits=8``, KIVI/InnerQ-style
+  tuning-free KV quantization — PAPERS.md): halves decode-attention HBM
+  traffic and doubles the contexts that fit.  Scales live as
+  ``(layers, num_pages, kv_heads, scale_pad)`` f32 with the token dim
+  lane-padded to a multiple of 128 (TPU DMA slices need 128-aligned
+  lane extents);
 - a host-side **allocator** (free list) and a device **page table**
   (slots × max_pages_per_slot int32) mapping each decode slot's logical
   blocks to physical pages — slots admit/finish without moving KV;
 - decode writes one (k, v) per slot per step with a vectorized scatter
-  into (page, offset); attention gathers each slot's pages and masks by
-  true length.  Shapes are fully static: every jit sees (slots,
-  max_pages_per_slot, page_size, ...) regardless of occupancy.
+  into (layer, page, offset) — the layer index keeps every update a
+  dynamic-update-slice on the *stacked* pools, so the decode scan never
+  slices out (= copies) a layer's pools.  Shapes are fully static:
+  every jit sees (slots, max_pages_per_slot, page_size, ...) regardless
+  of occupancy.
 """
 from __future__ import annotations
 
@@ -27,6 +34,11 @@ import jax
 import jax.numpy as jnp
 
 from tgq.models.config import ModelConfig
+
+
+def scale_pad(page_size: int) -> int:
+    """Token-dim padding of the scale pools (128-aligned DMA lanes)."""
+    return max(128, -(-page_size // 128) * 128)
 
 
 class PageTable:
@@ -144,71 +156,46 @@ class PageTable:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
-class LayerKV:
-    """One layer's page pools: k/v (num_pages, page, kvh, d); for int8
-    storage, ks/vs hold per-token-per-head absmax scales
-    (num_pages, page, kvh) f32 — None for bf16 storage."""
-
-    k: jax.Array
-    v: jax.Array
-    ks: Optional[jax.Array] = None
-    vs: Optional[jax.Array] = None
-
-    @property
-    def page_size(self) -> int:
-        return self.k.shape[1]
-
-
-@jax.tree_util.register_dataclass
-@dataclasses.dataclass
 class PagedKVCache:
-    """Device page pools, stacked over layers: k/v of shape
-    (layers, num_pages, page, kvh, d) and (for kv_bits=8) scale pools
-    ks/vs of shape (layers, num_pages, page, kvh) f32."""
+    """Layer-stacked device page pools.
+
+    k/v: (layers, num_pages, page_size, kv_heads·head_dim); for
+    ``kv_bits=8`` the pools are int8 and ks/vs hold per-token-per-head
+    absmax scales (layers, num_pages, kv_heads, scale_pad) f32 — token
+    dim lane-padded, entries ≥ page_size unused.
+    """
 
     k: jax.Array
     v: jax.Array
     ks: Optional[jax.Array] = None
     vs: Optional[jax.Array] = None
+    num_kv_heads: int = dataclasses.field(
+        default=1, metadata=dict(static=True))
 
     @classmethod
     def init(cls, cfg: ModelConfig, num_pages: int, page_size: int,
              dtype=jnp.bfloat16, kv_bits: int = 16) -> "PagedKVCache":
-        shape = (cfg.num_layers, num_pages, page_size, cfg.num_kv_heads,
-                 cfg.head_dim)
+        fused = cfg.num_kv_heads * cfg.head_dim
+        shape = (cfg.num_layers, num_pages, page_size, fused)
         if kv_bits == 8:
+            sshape = (cfg.num_layers, num_pages, cfg.num_kv_heads,
+                      scale_pad(page_size))
             return cls(k=jnp.zeros(shape, jnp.int8),
                        v=jnp.zeros(shape, jnp.int8),
-                       ks=jnp.zeros(shape[:-1], jnp.float32),
-                       vs=jnp.zeros(shape[:-1], jnp.float32))
+                       ks=jnp.zeros(sshape, jnp.float32),
+                       vs=jnp.zeros(sshape, jnp.float32),
+                       num_kv_heads=cfg.num_kv_heads)
         assert kv_bits == 16, kv_bits
-        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                   num_kv_heads=cfg.num_kv_heads)
 
     @property
     def page_size(self) -> int:
         return self.k.shape[2]
 
-    def layer(self, li: int) -> LayerKV:
-        return LayerKV(
-            k=self.k[li], v=self.v[li],
-            ks=None if self.ks is None else self.ks[li],
-            vs=None if self.vs is None else self.vs[li],
-        )
-
-    def set_layer(self, li: int, kv: LayerKV) -> "PagedKVCache":
-        return PagedKVCache(
-            k=self.k.at[li].set(kv.k), v=self.v.at[li].set(kv.v),
-            ks=None if self.ks is None else self.ks.at[li].set(kv.ks),
-            vs=None if self.vs is None else self.vs.at[li].set(kv.vs),
-        )
-
-    def stacked(self) -> LayerKV:
-        """Layer-stacked pools as one LayerKV pytree — scan xs."""
-        return LayerKV(k=self.k, v=self.v, ks=self.ks, vs=self.vs)
-
-    @classmethod
-    def from_stacked(cls, kv: LayerKV) -> "PagedKVCache":
-        return cls(k=kv.k, v=kv.v, ks=kv.ks, vs=kv.vs)
+    @property
+    def head_dim(self) -> int:
+        return self.k.shape[3] // self.num_kv_heads
 
 
 def _absmax_quantize(x: jax.Array):
@@ -219,64 +206,110 @@ def _absmax_quantize(x: jax.Array):
     return q, s
 
 
-def kv_write_token(kv: LayerKV, pages: jax.Array, offsets: jax.Array,
-                   k_new: jax.Array, v_new: jax.Array) -> LayerKV:
-    """Scatter one token's K/V per slot.  pages/offsets: (slots,);
-    k_new/v_new: (slots, kvh, d)."""
-    if kv.ks is None:
-        return LayerKV(
-            k=kv.k.at[pages, offsets].set(k_new.astype(kv.k.dtype)),
-            v=kv.v.at[pages, offsets].set(v_new.astype(kv.v.dtype)),
+def _pad_scales(s: jax.Array, spad: int) -> jax.Array:
+    """(..., page) → (..., spad) zero-padded."""
+    if s.shape[-1] == spad:
+        return s
+    pad = [(0, 0)] * (s.ndim - 1) + [(0, spad - s.shape[-1])]
+    return jnp.pad(s, pad)
+
+
+def kv_write_token(cache: PagedKVCache, layer, pages: jax.Array,
+                   offsets: jax.Array, k_new: jax.Array,
+                   v_new: jax.Array) -> PagedKVCache:
+    """Scatter one token's K/V per slot into layer ``layer``.
+
+    pages/offsets: (slots,); k_new/v_new: (slots, kvh, d).  All writes
+    index the stacked pools directly (dynamic-update-slice in place
+    under donation) — no per-layer pool slicing.
+    """
+    slots = k_new.shape[0]
+    kf = k_new.reshape(slots, -1)
+    vf = v_new.reshape(slots, -1)
+    if cache.ks is None:
+        return dataclasses.replace(
+            cache,
+            k=cache.k.at[layer, pages, offsets].set(kf.astype(cache.k.dtype)),
+            v=cache.v.at[layer, pages, offsets].set(vf.astype(cache.v.dtype)),
         )
-    qk, sk = _absmax_quantize(k_new)
+    qk, sk = _absmax_quantize(k_new)   # (slots, kvh, d), (slots, kvh)
     qv, sv = _absmax_quantize(v_new)
-    return LayerKV(
-        k=kv.k.at[pages, offsets].set(qk),
-        v=kv.v.at[pages, offsets].set(qv),
-        ks=kv.ks.at[pages, offsets].set(sk),
-        vs=kv.vs.at[pages, offsets].set(sv),
+    return dataclasses.replace(
+        cache,
+        k=cache.k.at[layer, pages, offsets].set(qk.reshape(slots, -1)),
+        v=cache.v.at[layer, pages, offsets].set(qv.reshape(slots, -1)),
+        ks=cache.ks.at[layer, pages, :, offsets].set(sk),
+        vs=cache.vs.at[layer, pages, :, offsets].set(sv),
     )
 
 
-def kv_write_pages(kv: LayerKV, slot_pages: jax.Array,
-                   k_new: jax.Array, v_new: jax.Array) -> LayerKV:
-    """Write full prompts' K/V (prefill).  slot_pages: ([b,] n_pages);
-    k_new/v_new: ([b,] seq, kvh, d) with seq == n_pages * page_size."""
-    page = kv.page_size
+def kv_write_pages(cache: PagedKVCache, layer, slot_pages: jax.Array,
+                   k_new: jax.Array, v_new: jax.Array) -> PagedKVCache:
+    """Write full prompts' K/V (prefill) into layer ``layer``.
+
+    slot_pages: ([b,] n_pages); k_new/v_new: ([b,] seq, kvh, d) with
+    seq == n_pages * page_size.
+    """
+    page = cache.page_size
     lead, n_pages = slot_pages.shape[:-1], slot_pages.shape[-1]
 
-    def tile(x):
-        return x.reshape(*lead, n_pages, page, *x.shape[len(lead) + 1:])
+    def tile(x):  # ([b,] seq, f) → ([b,] n_pages, page, f)
+        return x.reshape(*lead, n_pages, page, x.shape[-1])
 
-    if kv.ks is None:
-        return LayerKV(
-            k=kv.k.at[slot_pages].set(tile(k_new).astype(kv.k.dtype)),
-            v=kv.v.at[slot_pages].set(tile(v_new).astype(kv.v.dtype)),
+    kf = k_new.reshape(*k_new.shape[:-2], -1)
+    vf = v_new.reshape(*v_new.shape[:-2], -1)
+    if cache.ks is None:
+        return dataclasses.replace(
+            cache,
+            k=cache.k.at[layer, slot_pages].set(
+                tile(kf).astype(cache.k.dtype)),
+            v=cache.v.at[layer, slot_pages].set(
+                tile(vf).astype(cache.v.dtype)),
         )
-    qk, sk = _absmax_quantize(k_new)
+    qk, sk = _absmax_quantize(k_new)   # ([b,] seq, kvh, d), ([b,] seq, kvh)
     qv, sv = _absmax_quantize(v_new)
-    return LayerKV(
-        k=kv.k.at[slot_pages].set(tile(qk)),
-        v=kv.v.at[slot_pages].set(tile(qv)),
-        ks=kv.ks.at[slot_pages].set(tile(sk)),
-        vs=kv.vs.at[slot_pages].set(tile(sv)),
+    spad = cache.ks.shape[-1]
+
+    def tile_s(s):  # ([b,] seq, kvh) → ([b,] n_pages, kvh, spad)
+        s = s.reshape(*lead, n_pages, page, s.shape[-1])
+        s = jnp.swapaxes(s, -1, -2)  # ([b,] n_pages, kvh, page)
+        return _pad_scales(s, spad)
+
+    return dataclasses.replace(
+        cache,
+        k=cache.k.at[layer, slot_pages].set(tile(qk.reshape(*kf.shape))),
+        v=cache.v.at[layer, slot_pages].set(tile(qv.reshape(*vf.shape))),
+        ks=cache.ks.at[layer, slot_pages].set(tile_s(sk)),
+        vs=cache.vs.at[layer, slot_pages].set(tile_s(sv)),
     )
 
 
-def kv_gather(kv: LayerKV, table: jax.Array, dtype=jnp.bfloat16):
-    """Gather + dequantize each slot's pages: (slots, mpps·page, kvh, d)
-    views of K and V.
+def kv_gather(cache: PagedKVCache, layer, table: jax.Array,
+              dtype=jnp.bfloat16):
+    """Gather + dequantize each slot's pages from layer ``layer``:
+    (slots, mpps·page, kvh, d) views of K and V.
 
-    The gathered views materialize in HBM (XLA does not fuse gathers
-    into dot operands on TPU), so their dtype sets the attention path's
-    HBM traffic — bf16 halves it vs f32 at no observable quality cost
-    (the QK/AV dots still accumulate in f32)."""
-    page = kv.page_size
+    The XLA fallback attention path (CPU tests, TP serving).  The
+    gathered views materialize in HBM, so their dtype sets the attention
+    path's traffic — bf16 halves it vs f32 at no observable quality cost
+    (the QK/AV dots still accumulate in f32).  On single-device TPU the
+    fused kernel (tgq.kernels.paged_attention) replaces this entirely.
+    """
+    page = cache.page_size
     slots, mpps = table.shape
-    kvh, d = kv.k.shape[-2:]
-    kg = kv.k[table].reshape(slots, mpps * page, kvh, d).astype(dtype)
-    vg = kv.v[table].reshape(slots, mpps * page, kvh, d).astype(dtype)
-    if kv.ks is not None:
-        kg = kg * kv.ks[table].reshape(slots, mpps * page, kvh)[..., None].astype(dtype)
-        vg = vg * kv.vs[table].reshape(slots, mpps * page, kvh)[..., None].astype(dtype)
+    kvh = cache.num_kv_heads
+    d = cache.head_dim
+    k_l = cache.k[layer]
+    v_l = cache.v[layer]
+    kg = k_l[table].reshape(slots, mpps * page, kvh, d).astype(dtype)
+    vg = v_l[table].reshape(slots, mpps * page, kvh, d).astype(dtype)
+    if cache.ks is not None:
+        ks_l = cache.ks[layer][:, :, :page]   # (P, kvh, page)
+        vs_l = cache.vs[layer][:, :, :page]
+        sk = jnp.swapaxes(ks_l[table], -1, -2).reshape(
+            slots, mpps * page, kvh)[..., None].astype(dtype)
+        sv = jnp.swapaxes(vs_l[table], -1, -2).reshape(
+            slots, mpps * page, kvh)[..., None].astype(dtype)
+        kg = kg * sk
+        vg = vg * sv
     return kg, vg
