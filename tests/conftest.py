@@ -11,14 +11,19 @@ import os
 # not enough: a sitecustomize module may import jax at interpreter start
 # (with JAX_PLATFORMS pointing at an accelerator plugin), which binds the
 # config value before this file runs — so also update the live config.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+# TGQ_TEST_TPU=1 keeps the real accelerator backend instead, enabling the
+# TPU-gated kernel tests (test_paged_attention.py etc.).
+if os.environ.get("TGQ_TEST_TPU") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("TGQ_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

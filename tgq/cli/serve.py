@@ -41,7 +41,8 @@ def load_or_make_model(args):
         cfg = PRESETS[args.model_id]
         spec = QuantSpec(bits=args.w_bits, group_size=args.group_size,
                          sym=False)
-        return init_packed_params(cfg, spec, seed=0), cfg
+        return init_packed_params(
+            cfg, spec, seed=0, lm_head_bits=args.lm_head_bits), cfg
 
     # stage params host-side when a CPU backend is available so a large
     # model never materializes dense on the accelerator
@@ -105,6 +106,10 @@ def main(argv=None) -> int:
     ap.add_argument("--temperature", type=float, default=0.0)
     ap.add_argument("--decode_chunk", type=int, default=8,
                     help="decode steps fused per device dispatch")
+    ap.add_argument("--lm_head_bits", type=int, default=16, choices=(16, 8),
+                    help="vocab-head quantization (serving only; the "
+                         "decode-step vocab matmul reads >1 GB bf16/step "
+                         "dense)")
     ap.add_argument("--kv_bits", type=int, default=16, choices=(16, 8),
                     help="KV cache storage: bf16 or int8+scales")
     ap.add_argument("--seed", type=int, default=0)

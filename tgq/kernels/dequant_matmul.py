@@ -83,10 +83,25 @@ def quantized_matmul(
     out_tile: int = 512,
     k_tile: int = 2048,
     out_dtype=None,
+    layer: jax.Array | None = None,
 ) -> jax.Array:
-    """x: (..., in_features) → (..., out_features)."""
+    """x: (..., in_features) → (..., out_features).
+
+    ``layer``: when given, ``w``'s arrays carry a leading layer dim
+    (layer-stacked params from a serving scan) and ``layer`` is a traced
+    scalar index.  The kernel's BlockSpec index maps read it via scalar
+    prefetch, so weight tiles stream straight out of the stacked arrays —
+    the calling scan never slices a layer's weights (XLA would
+    materialize a full per-layer copy of the packed weights every
+    decode step).
+    """
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    stacked = layer is not None
+    if stacked and impl != "pallas":
+        w = jax.tree.map(lambda a: a[layer], w)
+        stacked = False
+        layer = None
     out_dtype = out_dtype or x.dtype
     lead = x.shape[:-1]
     n, m = w.in_features, w.out_features
@@ -110,6 +125,13 @@ def quantized_matmul(
         k_tile = unit if (unit < n and n % unit == 0) else n
     tt = min(token_tile, max(8, -(-t // 8) * 8))
     to = min(out_tile, m)
+    while m % to and to > 128:
+        to //= 2
+    if m % to:  # out dim not tileable (must be a lane multiple)
+        if stacked:
+            w = jax.tree.map(lambda a: a[layer], w)
+        y = x2.astype(jnp.float32) @ w.dequantize(jnp.float32).T
+        return y.astype(out_dtype).reshape(*lead, m)
     bytes_per_k = w.bits * k_tile // 8
     grid = (-(-m // to), -(-t // tt), n // k_tile)
 
@@ -122,6 +144,34 @@ def quantized_matmul(
     kernel = functools.partial(
         _dequant_matmul_kernel, bits=w.bits, group_size=g, k_tile=k_tile
     )
+    if stacked:
+        def skernel(layer_ref, *refs):
+            return kernel(*refs)
+
+        y = pl.pallas_call(
+            skernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                in_specs=[
+                    pl.BlockSpec((tt, k_tile), lambda i, j, k, L: (j, k)),
+                    pl.BlockSpec((None, bytes_per_k, to),
+                                 lambda i, j, k, L: (L[0], k, i)),
+                    pl.BlockSpec((None, ng_tile, to),
+                                 lambda i, j, k, L: (L[0], k, i)),
+                    pl.BlockSpec((None, ng_tile, to),
+                                 lambda i, j, k, L: (L[0], k, i)),
+                ],
+                out_specs=pl.BlockSpec((tt, to), lambda i, j, k, L: (j, i)),
+                grid=grid,
+            ),
+            out_shape=jax.ShapeDtypeStruct((t_pad, m), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+        )(jnp.asarray(layer, jnp.int32).reshape(1),
+          x2, w.codes, w.scale, w.zero)
+        return y[:t].astype(out_dtype).reshape(*lead, m)
+
     y = pl.pallas_call(
         kernel,
         grid=grid,

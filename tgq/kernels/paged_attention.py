@@ -155,9 +155,11 @@ def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
         ck, cv = make_copies(b, i, buf)
         ck.wait()
         k = k_vmem[buf].astype(jnp.float32)      # (page, kvh*d)
+        # DEFAULT (single-pass bf16) MXU precision: int8 codes are exact
+        # in bf16 and ~1e-3 relative logits error is bf16-grade attention,
+        # while HIGHEST (6-pass) multiplies the kernel's MXU time ~6x
         qk = jax.lax.dot_general(qd, k, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST)
+                                 preferred_element_type=jnp.float32)
         if quantized:
             qk = qk * expand_rows(ks_vmem[buf])  # (H, page) lane-aligned
         if attn_logits_soft_cap is not None:
@@ -178,8 +180,7 @@ def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
         else:
             p_v = p
         o_curr = jax.lax.dot_general(p_v, v, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32,
-                                     precision=jax.lax.Precision.HIGHEST)
+                                     preferred_element_type=jnp.float32)
         return m_next, l_next, acc * alpha + o_curr
 
     m0 = jnp.full((num_q_heads, 1), -jnp.inf, jnp.float32)

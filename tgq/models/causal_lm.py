@@ -35,12 +35,19 @@ Params = dict
 # ----------------------------------------------------------------- linears
 
 
-def apply_linear(p, x: jax.Array) -> jax.Array:
+def apply_linear(p, x: jax.Array, layer=None) -> jax.Array:
     """x @ Wᵀ (+ b).  p is {"w": (out,in)[, "b": (out,)]} or PackedLinear
-    (which routes through the fused dequant-matmul kernel on TPU)."""
+    (which routes through the fused dequant-matmul kernel on TPU).
+
+    ``layer``: traced layer index for layer-stacked PackedLinear params
+    (3-D codes) — the kernel indexes the stacked weights directly so the
+    serving scan never copies a layer's weights (tgq.kernels
+    .dequant_matmul)."""
     if isinstance(p, PackedLinear):
         from tgq.kernels.dequant_matmul import quantized_matmul
 
+        if layer is not None and p.codes.ndim == 3:
+            return quantized_matmul(x, p, layer=layer)
         return quantized_matmul(x, p)
     w = p["w"]
     y = x @ w.T.astype(x.dtype)
@@ -212,6 +219,12 @@ def apply_final_norm(params: Params, cfg: ModelConfig, x: jax.Array) -> jax.Arra
 def lm_logits(params: Params, cfg: ModelConfig, x: jax.Array) -> jax.Array:
     if cfg.tie_word_embeddings:
         w = params["model"]["embed_tokens"]["weight"]
+    elif isinstance(params["lm_head"], PackedLinear):
+        # packed vocab head through the fused dequant-matmul kernel
+        # (the vocab matmul reads >1 GB bf16 per decode step otherwise)
+        from tgq.kernels.dequant_matmul import quantized_matmul
+
+        return quantized_matmul(x, params["lm_head"], out_dtype=jnp.float32)
     else:
         w = linear_weight(params["lm_head"])
     return (x.astype(jnp.float32) @ w.T.astype(jnp.float32))

@@ -159,7 +159,8 @@ def init_params_host(cfg: ModelConfig, seed: int = 0):
     return params
 
 
-def init_packed_params(cfg: ModelConfig, spec, seed: int = 0):
+def init_packed_params(cfg: ModelConfig, spec, seed: int = 0,
+                       lm_head_bits: int = 16):
     """Random-init a preset directly as packed-INT weights (RTN), with
     generation *and* packing jitted on the default device.
 
@@ -234,8 +235,27 @@ def init_packed_params(cfg: ModelConfig, spec, seed: int = 0):
     }
     if not cfg.tie_word_embeddings:
         kidx += 1
-        params["lm_head"] = {"w": dense(jax.random.fold_in(root, kidx),
-                                        cfg.vocab_size, cfg.hidden_size, 0.02)}
+        if lm_head_bits < 16:
+            from tgq.core.quant import QuantSpec
+
+            head_spec = QuantSpec(bits=lm_head_bits,
+                                  group_size=spec.group_size, sym=False)
+
+            @partial(jax.jit, static_argnames=("out_f", "in_f"))
+            def packed_head(key, out_f, in_f):
+                w = jax.random.normal(key, (out_f, in_f), jnp.float32) * 0.02
+                p = find_params(w, head_spec)
+                s, z = expand_params(p, in_f)
+                q = quantize(w, s, z, head_spec).astype(jnp.int32)
+                return PackedLinear.from_codes(q, p.scale, p.zero, head_spec)
+
+            params["lm_head"] = packed_head(
+                jax.random.fold_in(root, kidx), cfg.vocab_size,
+                cfg.hidden_size)
+        else:
+            params["lm_head"] = {"w": dense(jax.random.fold_in(root, kidx),
+                                            cfg.vocab_size, cfg.hidden_size,
+                                            0.02)}
     return params
 
 

@@ -54,6 +54,23 @@ def stack_layer_params(params):
     return out
 
 
+def _slice_layer(tree, li):
+    """Per-layer view of a stacked layers tree: slice small leaves
+    (norm weights), keep PackedLinear nodes stacked — apply_linear
+    indexes them with ``layer=li`` inside the kernel, so the scan never
+    materializes a per-layer copy of the packed weights."""
+    from tgq.core.packing import PackedLinear
+
+    def rec(node):
+        if isinstance(node, PackedLinear):
+            return node
+        if isinstance(node, dict):
+            return {k: rec(v) for k, v in node.items()}
+        return node[li]
+
+    return rec(tree)
+
+
 def default_attn_impl(mesh=None) -> str:
     """Fused kernel on single-device TPU; XLA gather path elsewhere
     (CPU, or TP meshes where a custom call cannot be auto-partitioned)."""
@@ -95,11 +112,11 @@ def _decode_layer(lp, li, cfg: ModelConfig, x, cache: PagedKVCache,
     """One decoder layer's decode for all slots.  Returns (x, cache)."""
     slots = x.shape[0]
     h = rms_norm(x, lp["input_layernorm"]["weight"], cfg.rms_norm_eps)
-    q = apply_linear(lp["self_attn"]["q_proj"], h).reshape(
+    q = apply_linear(lp["self_attn"]["q_proj"], h, layer=li).reshape(
         slots, cfg.num_heads, cfg.head_dim)
-    k = apply_linear(lp["self_attn"]["k_proj"], h).reshape(
+    k = apply_linear(lp["self_attn"]["k_proj"], h, layer=li).reshape(
         slots, cfg.num_kv_heads, cfg.head_dim)
-    v = apply_linear(lp["self_attn"]["v_proj"], h).reshape(
+    v = apply_linear(lp["self_attn"]["v_proj"], h, layer=li).reshape(
         slots, cfg.num_kv_heads, cfg.head_dim)
     if cfg.qk_norm:
         q = rms_norm(q, lp["self_attn"]["q_norm"]["weight"], cfg.rms_norm_eps)
@@ -120,11 +137,13 @@ def _decode_layer(lp, li, cfg: ModelConfig, x, cache: PagedKVCache,
         attn = _gather_attention(cfg, q, cache, li, table, lens)
 
     x = x + apply_linear(lp["self_attn"]["o_proj"],
-                         attn.reshape(slots, cfg.q_size).astype(x.dtype))
+                         attn.reshape(slots, cfg.q_size).astype(x.dtype),
+                         layer=li)
     h2 = rms_norm(x, lp["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
-    gate = apply_linear(lp["mlp"]["gate_proj"], h2)
-    up = apply_linear(lp["mlp"]["up_proj"], h2)
-    x = x + apply_linear(lp["mlp"]["down_proj"], jax.nn.silu(gate) * up)
+    gate = apply_linear(lp["mlp"]["gate_proj"], h2, layer=li)
+    up = apply_linear(lp["mlp"]["up_proj"], h2, layer=li)
+    x = x + apply_linear(lp["mlp"]["down_proj"], jax.nn.silu(gate) * up,
+                         layer=li)
     return x, cache
 
 
@@ -157,16 +176,16 @@ def _decode_core(params, cache: PagedKVCache, cfg: ModelConfig,
     else:
         n_layers = jax.tree.leaves(layers)[0].shape[0]
 
-        def body(carry, xs):
+        def body(carry, li):
             x, cache = carry
-            lp, li = xs
+            lp = _slice_layer(layers, li)
             x, cache = _decode_layer(lp, li, cfg, x, cache, cos_tab, sin_tab,
                                      pos, pages, offsets, table, lens,
                                      attn_impl)
             return (x, cache), None
 
         (x, cache), _ = jax.lax.scan(
-            body, (x, cache), (layers, jnp.arange(n_layers)))
+            body, (x, cache), jnp.arange(n_layers))
 
     x = apply_final_norm(params, cfg, x[:, None])[:, 0]
     logits = lm_logits(params, cfg, x[:, None])[:, 0]
@@ -225,11 +244,11 @@ def _prefill_layer(lp, li, cfg: ModelConfig, x, cache: PagedKVCache,
 
     b, seq, _ = x.shape
     h = rms_norm(x, lp["input_layernorm"]["weight"], cfg.rms_norm_eps)
-    q = apply_linear(lp["self_attn"]["q_proj"], h).reshape(
+    q = apply_linear(lp["self_attn"]["q_proj"], h, layer=li).reshape(
         b, seq, cfg.num_heads, cfg.head_dim)
-    k = apply_linear(lp["self_attn"]["k_proj"], h).reshape(
+    k = apply_linear(lp["self_attn"]["k_proj"], h, layer=li).reshape(
         b, seq, cfg.num_kv_heads, cfg.head_dim)
-    v = apply_linear(lp["self_attn"]["v_proj"], h).reshape(
+    v = apply_linear(lp["self_attn"]["v_proj"], h, layer=li).reshape(
         b, seq, cfg.num_kv_heads, cfg.head_dim)
     if cfg.qk_norm:
         q = rms_norm(q, lp["self_attn"]["q_norm"]["weight"], cfg.rms_norm_eps)
@@ -239,11 +258,13 @@ def _prefill_layer(lp, li, cfg: ModelConfig, x, cache: PagedKVCache,
     cache = kv_write_pages(cache, li, slot_pages, k, v)
     attn = causal_attention(q, k, v, impl=attn_impl)
     x = x + apply_linear(lp["self_attn"]["o_proj"],
-                         attn.reshape(b, seq, cfg.q_size).astype(x.dtype))
+                         attn.reshape(b, seq, cfg.q_size).astype(x.dtype),
+                         layer=li)
     h2 = rms_norm(x, lp["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
-    gate = apply_linear(lp["mlp"]["gate_proj"], h2)
-    up = apply_linear(lp["mlp"]["up_proj"], h2)
-    x = x + apply_linear(lp["mlp"]["down_proj"], jax.nn.silu(gate) * up)
+    gate = apply_linear(lp["mlp"]["gate_proj"], h2, layer=li)
+    up = apply_linear(lp["mlp"]["up_proj"], h2, layer=li)
+    x = x + apply_linear(lp["mlp"]["down_proj"], jax.nn.silu(gate) * up,
+                         layer=li)
     return x, cache
 
 
@@ -279,15 +300,15 @@ def _prefill_core(params, cache: PagedKVCache, cfg: ModelConfig,
     else:
         n_layers = jax.tree.leaves(layers)[0].shape[0]
 
-        def body(carry, xs):
+        def body(carry, li):
             x, cache = carry
-            lp, li = xs
+            lp = _slice_layer(layers, li)
             x, cache = _prefill_layer(lp, li, cfg, x, cache, cos, sin,
                                       slot_pages, attn_impl)
             return (x, cache), None
 
         (x, cache), _ = jax.lax.scan(
-            body, (x, cache), (layers, jnp.arange(n_layers)))
+            body, (x, cache), jnp.arange(n_layers))
 
     x = apply_final_norm(params, cfg, x)
     last = x[jnp.arange(b), true_len - 1][:, None]
