@@ -57,3 +57,25 @@ def test_packed_linear_is_pytree(rng):
 
     out = deq(packed)
     assert out.shape == (8, 128)
+
+
+def test_concat_out_matches_parts(rng):
+    """concat_out fuses out-dims exactly: dequant(concat) == vstack of
+    the parts' dequants (quant groups run along in_features)."""
+    from tgq.core.packing import concat_out
+
+    spec = QuantSpec(bits=4, group_size=32, sym=False)
+    parts = []
+    deqs = []
+    for m in (16, 8, 8):
+        w = jnp.asarray(rng.normal(size=(m, 64)).astype(np.float32))
+        p = find_params(w, spec)
+        scale, zero = expand_params(p, 64)
+        q = quantize(w, scale, zero, spec).astype(jnp.int32)
+        pl = PackedLinear.from_codes(q, p.scale, p.zero, spec)
+        parts.append(pl)
+        deqs.append(np.asarray(pl.dequantize()))
+    fused = concat_out(parts)
+    assert fused.out_features == 32 and fused.in_features == 64
+    np.testing.assert_array_equal(
+        np.asarray(fused.dequantize()), np.vstack(deqs))

@@ -224,3 +224,37 @@ def test_quantized_serving(params):
     assert len(req.output) == 4
     # int8 is near-lossless on this tiny model: same greedy tokens
     assert req.output == greedy_reference(params, prompt, 4)
+
+
+def test_fused_projections_match_unfused(params):
+    """Engine with fused qkv/gate_up packed projections (the mesh=None
+    default) decodes the same tokens as the unfused per-layer path."""
+    import copy
+
+    from tgq.core.packing import PackedLinear
+    from tgq.core.quant import QuantSpec, expand_params, find_params, quantize
+    from tgq.models.causal_lm import get_nested, set_nested, find_linear_paths
+
+    qparams = copy.deepcopy(params)
+    spec = QuantSpec(bits=8, group_size=32, sym=False)
+    for lp in qparams["model"]["layers"]:
+        for name in find_linear_paths(CFG):
+            w = get_nested(lp, name)["w"].astype(jnp.float32)
+            p = find_params(w, spec)
+            s, z = expand_params(p, w.shape[1])
+            q = quantize(w, s, z, spec).astype(jnp.int32)
+            set_nested(lp, name, PackedLinear.from_codes(q, p.scale, p.zero, spec))
+
+    scfg = ServeConfig(max_slots=2, page_size=8, num_pages=32,
+                       max_pages_per_slot=8, max_new_tokens=6)
+    prompt = [5, 17, 42, 3]
+    fused_eng = Engine(copy.deepcopy(qparams), CFG, scfg)  # fuses by default
+    stacked = fused_eng.params["model"]["layers"]
+    assert any("qkv_proj" in str(k) for k in stacked["self_attn"].keys())
+    rf = fused_eng.submit(prompt)
+    fused_eng.run()
+
+    plain_eng = Engine(qparams, CFG, scfg, stack_layers=False)  # unfused
+    rp = plain_eng.submit(prompt)
+    plain_eng.run()
+    assert rf.output == rp.output

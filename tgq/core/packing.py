@@ -181,3 +181,26 @@ class PackedLinear:
     @property
     def nbytes(self) -> int:
         return sum(x.size * x.dtype.itemsize for x in (self.codes, self.scale, self.zero))
+
+
+def concat_out(parts: list[PackedLinear]) -> PackedLinear:
+    """Fuse projections that share an input into one PackedLinear by
+    concatenating along out_features (the lane axis of every array).
+
+    Quantization groups run along in_features, so this is numerically
+    exact — each output column keeps its own scale/zero.  Used by the
+    serving engine to fuse q/k/v and gate/up into single dequant-matmul
+    dispatches."""
+    p0 = parts[0]
+    for p in parts[1:]:
+        assert (p.bits, p.group_size, p.in_features) == (
+            p0.bits, p0.group_size, p0.in_features), (p, p0)
+    return PackedLinear(
+        codes=jnp.concatenate([p.codes for p in parts], axis=-1),
+        scale=jnp.concatenate([p.scale for p in parts], axis=-1),
+        zero=jnp.concatenate([p.zero for p in parts], axis=-1),
+        bits=p0.bits,
+        group_size=p0.group_size,
+        in_features=p0.in_features,
+        out_features=sum(p.out_features for p in parts),
+    )

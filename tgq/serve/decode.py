@@ -54,6 +54,44 @@ def stack_layer_params(params):
     return out
 
 
+def fuse_packed_projections(params):
+    """Fuse each layer's q/k/v and gate/up PackedLinears into single
+    ``qkv_proj`` / ``gate_up_proj`` nodes (tgq.core.packing.concat_out —
+    exact, since quant groups run along in_features).  7 → 4 dequant-
+    matmul dispatches per decode layer and wider out-dims per kernel.
+    Single-device serving only (the TP sharding rules shard the
+    unfused names); no-op unless every projection is packed."""
+    from tgq.core.packing import PackedLinear, concat_out
+
+    layers = params["model"]["layers"]
+    if not isinstance(layers, list):
+        return params
+    fused = []
+    for lp in layers:
+        sa, mlp = lp["self_attn"], lp["mlp"]
+        if not all(isinstance(sa.get(k), PackedLinear)
+                   for k in ("q_proj", "k_proj", "v_proj")):
+            return params
+        if not all(isinstance(mlp.get(k), PackedLinear)
+                   for k in ("gate_proj", "up_proj")):
+            return params
+        sa2 = {k: v for k, v in sa.items()
+               if k not in ("q_proj", "k_proj", "v_proj")}
+        sa2["qkv_proj"] = concat_out(
+            [sa["q_proj"], sa["k_proj"], sa["v_proj"]])
+        mlp2 = {k: v for k, v in mlp.items()
+                if k not in ("gate_proj", "up_proj")}
+        mlp2["gate_up_proj"] = concat_out([mlp["gate_proj"], mlp["up_proj"]])
+        lp2 = dict(lp)
+        lp2["self_attn"] = sa2
+        lp2["mlp"] = mlp2
+        fused.append(lp2)
+    out = dict(params)
+    out["model"] = dict(params["model"])
+    out["model"]["layers"] = fused
+    return out
+
+
 def _slice_layer(tree, li):
     """Per-layer view of a stacked layers tree: slice small leaves
     (norm weights), keep PackedLinear nodes stacked — apply_linear
@@ -112,12 +150,17 @@ def _decode_layer(lp, li, cfg: ModelConfig, x, cache: PagedKVCache,
     """One decoder layer's decode for all slots.  Returns (x, cache)."""
     slots = x.shape[0]
     h = rms_norm(x, lp["input_layernorm"]["weight"], cfg.rms_norm_eps)
-    q = apply_linear(lp["self_attn"]["q_proj"], h, layer=li).reshape(
-        slots, cfg.num_heads, cfg.head_dim)
-    k = apply_linear(lp["self_attn"]["k_proj"], h, layer=li).reshape(
-        slots, cfg.num_kv_heads, cfg.head_dim)
-    v = apply_linear(lp["self_attn"]["v_proj"], h, layer=li).reshape(
-        slots, cfg.num_kv_heads, cfg.head_dim)
+    if "qkv_proj" in lp["self_attn"]:
+        qkv = apply_linear(lp["self_attn"]["qkv_proj"], h, layer=li)
+        q, k, v = jnp.split(
+            qkv, [cfg.q_size, cfg.q_size + cfg.kv_size], axis=-1)
+    else:
+        q = apply_linear(lp["self_attn"]["q_proj"], h, layer=li)
+        k = apply_linear(lp["self_attn"]["k_proj"], h, layer=li)
+        v = apply_linear(lp["self_attn"]["v_proj"], h, layer=li)
+    q = q.reshape(slots, cfg.num_heads, cfg.head_dim)
+    k = k.reshape(slots, cfg.num_kv_heads, cfg.head_dim)
+    v = v.reshape(slots, cfg.num_kv_heads, cfg.head_dim)
     if cfg.qk_norm:
         q = rms_norm(q, lp["self_attn"]["q_norm"]["weight"], cfg.rms_norm_eps)
         k = rms_norm(k, lp["self_attn"]["k_norm"]["weight"], cfg.rms_norm_eps)
@@ -140,8 +183,12 @@ def _decode_layer(lp, li, cfg: ModelConfig, x, cache: PagedKVCache,
                          attn.reshape(slots, cfg.q_size).astype(x.dtype),
                          layer=li)
     h2 = rms_norm(x, lp["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
-    gate = apply_linear(lp["mlp"]["gate_proj"], h2, layer=li)
-    up = apply_linear(lp["mlp"]["up_proj"], h2, layer=li)
+    if "gate_up_proj" in lp["mlp"]:
+        gate, up = jnp.split(
+            apply_linear(lp["mlp"]["gate_up_proj"], h2, layer=li), 2, axis=-1)
+    else:
+        gate = apply_linear(lp["mlp"]["gate_proj"], h2, layer=li)
+        up = apply_linear(lp["mlp"]["up_proj"], h2, layer=li)
     x = x + apply_linear(lp["mlp"]["down_proj"], jax.nn.silu(gate) * up,
                          layer=li)
     return x, cache
@@ -244,12 +291,17 @@ def _prefill_layer(lp, li, cfg: ModelConfig, x, cache: PagedKVCache,
 
     b, seq, _ = x.shape
     h = rms_norm(x, lp["input_layernorm"]["weight"], cfg.rms_norm_eps)
-    q = apply_linear(lp["self_attn"]["q_proj"], h, layer=li).reshape(
-        b, seq, cfg.num_heads, cfg.head_dim)
-    k = apply_linear(lp["self_attn"]["k_proj"], h, layer=li).reshape(
-        b, seq, cfg.num_kv_heads, cfg.head_dim)
-    v = apply_linear(lp["self_attn"]["v_proj"], h, layer=li).reshape(
-        b, seq, cfg.num_kv_heads, cfg.head_dim)
+    if "qkv_proj" in lp["self_attn"]:
+        qkv = apply_linear(lp["self_attn"]["qkv_proj"], h, layer=li)
+        q, k, v = jnp.split(
+            qkv, [cfg.q_size, cfg.q_size + cfg.kv_size], axis=-1)
+    else:
+        q = apply_linear(lp["self_attn"]["q_proj"], h, layer=li)
+        k = apply_linear(lp["self_attn"]["k_proj"], h, layer=li)
+        v = apply_linear(lp["self_attn"]["v_proj"], h, layer=li)
+    q = q.reshape(b, seq, cfg.num_heads, cfg.head_dim)
+    k = k.reshape(b, seq, cfg.num_kv_heads, cfg.head_dim)
+    v = v.reshape(b, seq, cfg.num_kv_heads, cfg.head_dim)
     if cfg.qk_norm:
         q = rms_norm(q, lp["self_attn"]["q_norm"]["weight"], cfg.rms_norm_eps)
         k = rms_norm(k, lp["self_attn"]["k_norm"]["weight"], cfg.rms_norm_eps)
@@ -261,8 +313,12 @@ def _prefill_layer(lp, li, cfg: ModelConfig, x, cache: PagedKVCache,
                          attn.reshape(b, seq, cfg.q_size).astype(x.dtype),
                          layer=li)
     h2 = rms_norm(x, lp["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
-    gate = apply_linear(lp["mlp"]["gate_proj"], h2, layer=li)
-    up = apply_linear(lp["mlp"]["up_proj"], h2, layer=li)
+    if "gate_up_proj" in lp["mlp"]:
+        gate, up = jnp.split(
+            apply_linear(lp["mlp"]["gate_up_proj"], h2, layer=li), 2, axis=-1)
+    else:
+        gate = apply_linear(lp["mlp"]["gate_proj"], h2, layer=li)
+        up = apply_linear(lp["mlp"]["up_proj"], h2, layer=li)
     x = x + apply_linear(lp["mlp"]["down_proj"], jax.nn.silu(gate) * up,
                          layer=li)
     return x, cache

@@ -76,8 +76,13 @@ class Engine:
         self.scfg = scfg
         self.mesh = mesh
         if stack_layers:
-            from tgq.serve.decode import stack_layer_params
+            from tgq.serve.decode import (fuse_packed_projections,
+                                          stack_layer_params)
 
+            if mesh is None:
+                # fuse q/k/v and gate/up packed projections (exact; the
+                # TP rules shard the unfused names, so mesh path skips)
+                params = fuse_packed_projections(params)
             params = stack_layer_params(params)
         cache = PagedKVCache.init(cfg, scfg.num_pages, scfg.page_size,
                                   kv_bits=scfg.kv_bits)
