@@ -258,3 +258,41 @@ def test_fused_projections_match_unfused(params):
     rp = plain_eng.submit(prompt)
     plain_eng.run()
     assert rf.output == rp.output
+
+
+def test_kv_write_token_all_matches_per_layer():
+    """One batched all-layer scatter == 36 per-layer kv_write_token calls
+    (bf16 and int8 storage)."""
+    from tgq.serve.kv_cache import kv_write_token, kv_write_token_all
+
+    rng = np.random.default_rng(0)
+    L, slots, kvh, d = 3, 4, 2, 8
+    for kv_bits in (16, 8):
+        cache_a = PagedKVCache.init(CFG, num_pages=8, page_size=4,
+                                    kv_bits=kv_bits)
+        cache_b = PagedKVCache.init(CFG, num_pages=8, page_size=4,
+                                    kv_bits=kv_bits)
+        # CFG is tiny-qwen3; rebuild shapes from its config
+        Lc = CFG.num_layers
+        kvh_c, d_c = CFG.num_kv_heads, CFG.head_dim
+        pages = jnp.asarray(rng.integers(0, 8, (slots,)), jnp.int32)
+        # distinct (page, offset) pairs to avoid scatter-order ambiguity
+        pages = jnp.asarray([1, 2, 3, 1], jnp.int32)
+        offs = jnp.asarray([0, 0, 2, 3], jnp.int32)
+        k_all = jnp.asarray(
+            rng.standard_normal((Lc, slots, kvh_c, d_c)), jnp.float32)
+        v_all = jnp.asarray(
+            rng.standard_normal((Lc, slots, kvh_c, d_c)), jnp.float32)
+        for li in range(Lc):
+            cache_a = kv_write_token(cache_a, li, pages, offs,
+                                     k_all[li], v_all[li])
+        cache_b = kv_write_token_all(cache_b, pages, offs, k_all, v_all)
+        np.testing.assert_array_equal(np.asarray(cache_a.k),
+                                      np.asarray(cache_b.k))
+        np.testing.assert_array_equal(np.asarray(cache_a.v),
+                                      np.asarray(cache_b.v))
+        if kv_bits == 8:
+            np.testing.assert_array_equal(np.asarray(cache_a.ks),
+                                          np.asarray(cache_b.ks))
+            np.testing.assert_array_equal(np.asarray(cache_a.vs),
+                                          np.asarray(cache_b.vs))

@@ -243,6 +243,38 @@ def kv_write_token(cache: PagedKVCache, layer, pages: jax.Array,
     )
 
 
+def kv_write_token_all(cache: PagedKVCache, pages: jax.Array,
+                       offsets: jax.Array, k_all: jax.Array,
+                       v_all: jax.Array) -> PagedKVCache:
+    """Scatter one token's K/V per slot for ALL layers in one update.
+
+    k_all/v_all: (layers, slots, kvh, d) — the layer scan's stacked ys
+    when the fused attention kernel handles the current token inline
+    (tgq.kernels.paged_attention ``k_current``): one scatter per decode
+    step instead of one per layer.
+    """
+    L, slots = k_all.shape[:2]
+    kf = k_all.reshape(L, slots, -1)
+    vf = v_all.reshape(L, slots, -1)
+    if cache.ks is None:
+        return dataclasses.replace(
+            cache,
+            k=cache.k.at[:, pages, offsets].set(kf.astype(cache.k.dtype)),
+            v=cache.v.at[:, pages, offsets].set(vf.astype(cache.v.dtype)),
+        )
+    qk, sk = _absmax_quantize(k_all)   # (L, slots, kvh, d), (L, slots, kvh)
+    qv, sv = _absmax_quantize(v_all)
+    # ks (L, P, kvh, spad): the slice between the two advanced indices
+    # moves the broadcast (slots) dim to the front — transpose to match
+    return dataclasses.replace(
+        cache,
+        k=cache.k.at[:, pages, offsets].set(qk.reshape(L, slots, -1)),
+        v=cache.v.at[:, pages, offsets].set(qv.reshape(L, slots, -1)),
+        ks=cache.ks.at[:, pages, :, offsets].set(sk.transpose(1, 0, 2)),
+        vs=cache.vs.at[:, pages, :, offsets].set(sv.transpose(1, 0, 2)),
+    )
+
+
 def kv_write_pages(cache: PagedKVCache, layer, slot_pages: jax.Array,
                    k_new: jax.Array, v_new: jax.Array) -> PagedKVCache:
     """Write full prompts' K/V (prefill) into layer ``layer``.
