@@ -57,3 +57,32 @@ def test_checkpoint_size(tmp_path):
     embed = cfg.vocab_size * cfg.hidden_size * 2
     layer_dense = (3 * 64 * 64 + 64 * 64 + 2 * 128 * 64 + 64 * 128) * 2 * 2
     assert sz < embed * 1.3 + layer_dense * 0.5
+
+
+def test_checkpoint_bias_roundtrip(tmp_path):
+    """PackedLinear biases (Qwen2-family) survive save/load."""
+    cfg = PRESETS["tiny-qwen2"]
+    params = init_params(cfg, jax.random.key(3))
+    for lp in params["model"]["layers"]:
+        for name in ("q_proj", "k_proj", "v_proj"):
+            p = lp["self_attn"][name]
+            p["b"] = jnp.full(p["b"].shape, 0.25, p["b"].dtype)
+    calib = synthetic_calibration(cfg.vocab_size, 2, 32, seed=1)
+    qcfg = QuantizeConfig(mode="rtn", w_bits=8, group_size=32, batch_size=2,
+                          attn_impl="naive")
+    params, packed, _ = quantize_model(params, cfg, calib, qcfg)
+    assert any(p.bias is not None for p in packed.values())
+    path = str(tmp_path / "ckpt")
+    save_quantized(path, params, packed, cfg)
+    tree, cfg2, _ = load_quantized(path)
+    from tgq.core.packing import PackedLinear
+
+    qkv = tree["model"]["layers"][0]["self_attn"]["q_proj"]
+    assert isinstance(qkv, PackedLinear) and qkv.bias is not None
+    np.testing.assert_allclose(np.asarray(qkv.bias), 0.25, atol=1e-6)
+
+    ids = jnp.asarray(calib[:1, :16].astype(np.int32))
+    ref = forward(params, cfg, ids, attn_impl="naive")
+    out = forward(tree, cfg2, ids, attn_impl="naive")
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               rtol=2e-2, atol=2e-2)

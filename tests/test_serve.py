@@ -296,3 +296,58 @@ def test_kv_write_token_all_matches_per_layer():
                                           np.asarray(cache_b.ks))
             np.testing.assert_array_equal(np.asarray(cache_a.vs),
                                           np.asarray(cache_b.vs))
+
+
+def test_packed_bias_serving_matches_dense():
+    """Qwen2-style qkv biases survive packing (PackedLinear.bias),
+    projection fusion (concat_out), and the serving engine."""
+    import copy
+
+    from tgq.core.packing import PackedLinear
+    from tgq.core.quant import QuantSpec, expand_params, find_params, quantize
+    from tgq.models import PRESETS, init_params
+    from tgq.models.causal_lm import get_nested, set_nested, find_linear_paths
+
+    cfg2 = PRESETS["tiny-qwen2"]
+    assert cfg2.attention_bias
+    params = init_params(cfg2, jax.random.key(7))
+    # non-trivial biases so dropping them would change greedy tokens
+    key = jax.random.key(11)
+    for lp in params["model"]["layers"]:
+        for name in ("q_proj", "k_proj", "v_proj"):
+            p = lp["self_attn"][name]
+            key, sub = jax.random.split(key)
+            p["b"] = jax.random.normal(sub, p["b"].shape, p["b"].dtype) * 0.5
+
+    ref = greedy_reference_cfg(params, cfg2, [5, 17, 42], 5)
+
+    qparams = copy.deepcopy(params)
+    spec = QuantSpec(bits=8, group_size=32, sym=False)
+    for lp in qparams["model"]["layers"]:
+        for name in find_linear_paths(cfg2):
+            entry = get_nested(lp, name)
+            w = entry["w"].astype(jnp.float32)
+            p = find_params(w, spec)
+            s, z = expand_params(p, w.shape[1])
+            q = quantize(w, s, z, spec).astype(jnp.int32)
+            set_nested(lp, name, PackedLinear.from_codes(
+                q, p.scale, p.zero, spec,
+                bias=entry.get("b")))
+
+    scfg = ServeConfig(max_slots=1, page_size=8, num_pages=32,
+                       max_pages_per_slot=8, max_new_tokens=5)
+    eng = Engine(qparams, cfg2, scfg)
+    req = eng.submit([5, 17, 42])
+    eng.run()
+    assert req.output == ref, (req.output, ref)
+
+
+def greedy_reference_cfg(params, cfg, ids, n_new):
+    ids = list(ids)
+    out = []
+    for _ in range(n_new):
+        logits = forward(params, cfg, jnp.asarray([ids]), attn_impl="naive")
+        tok = int(jnp.argmax(logits[0, len(ids) - 1]))
+        out.append(tok)
+        ids.append(tok)
+    return out

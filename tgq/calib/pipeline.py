@@ -222,6 +222,8 @@ def _save_resume_layer(resume_dir: str, li: int, layer_host: Params,
             flat[f"{prefix}codes"] = np.asarray(tree.codes)
             flat[f"{prefix}scale"] = np.asarray(tree.scale)
             flat[f"{prefix}zero"] = np.asarray(tree.zero)
+            if tree.bias is not None:
+                flat[f"{prefix}bias"] = np.asarray(tree.bias)
             flat[f"{prefix}__packed__"] = np.asarray(
                 [tree.bits, tree.group_size, tree.in_features,
                  tree.out_features])
@@ -295,6 +297,7 @@ def _load_resume(resume_dir: str, params: Params, packed: dict, log: dict,
             packed[base] = PackedLinear(
                 codes=parts["codes"], scale=parts["scale"], zero=parts["zero"],
                 bits=bits, group_size=gs, in_features=in_f, out_features=out_f,
+                bias=parts.get("bias"),
             )
         log["layer_stats"].extend(done[str(start)])
         start += 1
@@ -466,7 +469,10 @@ def quantize_layer(
             new_p["w"] = wq.astype(jnp.bfloat16)
             set_nested(lp, name, new_p)
             if qcfg.pack:
-                packed[name] = PackedLinear.from_codes(codes, scale, zero, spec)
+                packed[name] = PackedLinear.from_codes(
+                    codes, scale, zero, spec,
+                    bias=(jnp.asarray(old["b"], jnp.float32)
+                          if isinstance(old, dict) and "b" in old else None))
             solve_time = time.time() - t_solve
             logger.info("   %-22s | rank %5s | rel_err %.4f | %.2fs",
                         name, rank, rel, solve_time)

@@ -71,7 +71,10 @@ def load_or_make_model(args):
                 p = find_params(w, spec)
                 s, z = expand_params(p, w.shape[1])
                 q = quantize(w, s, z, spec).astype(jnp.int32)
-                set_nested(lp, name, PackedLinear.from_codes(q, p.scale, p.zero, spec))
+                set_nested(lp, name, PackedLinear.from_codes(
+                    q, p.scale, p.zero, spec,
+                    bias=(jnp.asarray(entry["b"], jnp.float32)
+                          if "b" in entry else None)))
                 del w, entry
             # move the layer's remaining dense leaves (norms, biases)
             params["model"]["layers"][li] = jax.device_put(

@@ -34,6 +34,8 @@ def _flatten(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
         out[f"{prefix}codes"] = np.asarray(tree.codes)
         out[f"{prefix}scale"] = np.asarray(tree.scale)
         out[f"{prefix}zero"] = np.asarray(tree.zero)
+        if tree.bias is not None:
+            out[f"{prefix}bias"] = np.asarray(tree.bias)
         out[f"{prefix}__packed__"] = np.asarray(
             [tree.bits, tree.group_size, tree.in_features, tree.out_features]
         )
@@ -93,7 +95,7 @@ def load_quantized(path: str):
             plain[name[len("__bf16__"):]] = arr.view(ml_dtypes.bfloat16)
             continue
         base, leaf = name.rsplit(".", 1)
-        if leaf in ("codes", "scale", "zero", "__packed__"):
+        if leaf in ("codes", "scale", "zero", "bias", "__packed__"):
             packed_groups.setdefault(base, {})[leaf] = arr
         else:
             plain[name] = arr
@@ -133,6 +135,7 @@ def load_quantized(path: str):
         pl = PackedLinear(
             codes=parts["codes"], scale=parts["scale"], zero=parts["zero"],
             bits=bits, group_size=gs, in_features=in_f, out_features=out_f,
+            bias=parts.get("bias"),
         )
         insert(tree, base, pl)
     return tree, cfg, meta.get("quant_config", {})

@@ -149,24 +149,29 @@ class PackedLinear:
     group_size: int = dataclasses.field(metadata={"static": True})
     in_features: int = dataclasses.field(metadata={"static": True})
     out_features: int = dataclasses.field(metadata={"static": True})
+    # optional additive bias (out,) — kept dense (Qwen2-family q/k/v
+    # carry biases; quantizing them would gain nothing)
+    bias: jax.Array | None = None
 
     @classmethod
     def from_codes(
-        cls, q: jax.Array, scale: jax.Array, zero: jax.Array, spec: QuantSpec
+        cls, q: jax.Array, scale: jax.Array, zero: jax.Array, spec: QuantSpec,
+        bias: jax.Array | None = None,
     ) -> "PackedLinear":
         """From signed/unsigned integer codes (out, in) + per-group params."""
         m, n = q.shape
-        bias = spec.max_q if spec.sym else 0
-        stored = (q + bias).astype(jnp.int32)
+        code_bias = spec.max_q if spec.sym else 0
+        stored = (q + code_bias).astype(jnp.int32)
         g = spec.group_size if spec.group_size > 0 else n
         return cls(
             codes=pack_rows(stored, spec.bits, group_size=g).T,
             scale=scale.astype(jnp.float32).T,
-            zero=(zero + bias).astype(jnp.float32).T,
+            zero=(zero + code_bias).astype(jnp.float32).T,
             bits=spec.bits,
             group_size=g,
             in_features=n,
             out_features=m,
+            bias=None if bias is None else bias.astype(jnp.float32),
         )
 
     def dequantize(self, dtype=jnp.float32) -> jax.Array:
@@ -195,6 +200,13 @@ def concat_out(parts: list[PackedLinear]) -> PackedLinear:
     for p in parts[1:]:
         assert (p.bits, p.group_size, p.in_features) == (
             p0.bits, p0.group_size, p0.in_features), (p, p0)
+    if any(p.bias is not None for p in parts):
+        bias = jnp.concatenate([
+            p.bias if p.bias is not None
+            else jnp.zeros((p.out_features,), jnp.float32)
+            for p in parts], axis=-1)
+    else:
+        bias = None
     return PackedLinear(
         codes=jnp.concatenate([p.codes for p in parts], axis=-1),
         scale=jnp.concatenate([p.scale for p in parts], axis=-1),
@@ -203,4 +215,5 @@ def concat_out(parts: list[PackedLinear]) -> PackedLinear:
         group_size=p0.group_size,
         in_features=p0.in_features,
         out_features=sum(p.out_features for p in parts),
+        bias=bias,
     )

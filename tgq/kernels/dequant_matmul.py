@@ -108,9 +108,21 @@ def quantized_matmul(
     x2 = x.reshape(-1, n)
     t = x2.shape[0]
 
+    def bias_of(w):
+        b = w.bias
+        if b is not None and stacked:
+            b = b[layer]
+        return b
+
+    def finish(y, w):
+        b = bias_of(w)
+        if b is not None:
+            y = y + b.astype(y.dtype)
+        return y.astype(out_dtype).reshape(*lead, m)
+
     if impl == "xla" or w.group_size <= 0 or n % w.group_size:
         y = x2.astype(jnp.float32) @ w.dequantize(jnp.float32).T
-        return y.astype(out_dtype).reshape(*lead, m)
+        return finish(y, w)
 
     g = w.group_size
     # k-tile legality (Mosaic min tiles): the u8 codes tile's sublane dim
@@ -130,8 +142,9 @@ def quantized_matmul(
     if m % to:  # out dim not tileable (must be a lane multiple)
         if stacked:
             w = jax.tree.map(lambda a: a[layer], w)
+            stacked = False
         y = x2.astype(jnp.float32) @ w.dequantize(jnp.float32).T
-        return y.astype(out_dtype).reshape(*lead, m)
+        return finish(y, w)
     bytes_per_k = w.bits * k_tile // 8
     grid = (-(-m // to), -(-t // tt), n // k_tile)
 
@@ -170,7 +183,7 @@ def quantized_matmul(
             ),
         )(jnp.asarray(layer, jnp.int32).reshape(1),
           x2, w.codes, w.scale, w.zero)
-        return y[:t].astype(out_dtype).reshape(*lead, m)
+        return finish(y[:t], w)
 
     y = pl.pallas_call(
         kernel,
@@ -193,4 +206,4 @@ def quantized_matmul(
         ),
         interpret=jax.default_backend() != "tpu",
     )(x2, w.codes, w.scale, w.zero)
-    return y[:t].astype(out_dtype).reshape(*lead, m)
+    return finish(y[:t], w)

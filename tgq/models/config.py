@@ -69,6 +69,13 @@ LLAMA3_70B = _register(ModelConfig(
     head_dim=128, rope_theta=5e5, rms_norm_eps=1e-5, qk_norm=False,
 ))
 
+# Qwen2.5 family (qkv biases, no qk-norm)
+QWEN25_7B = _register(ModelConfig(
+    name="qwen2.5-7b", vocab_size=152064, hidden_size=3584,
+    intermediate_size=18944, num_layers=28, num_heads=28, num_kv_heads=4,
+    head_dim=128, rope_theta=1e6, qk_norm=False, attention_bias=True,
+))
+
 # tiny variants for hermetic tests (structure-identical to their parents)
 TINY_QWEN3 = _register(ModelConfig(
     name="tiny-qwen3", vocab_size=512, hidden_size=64,
@@ -79,4 +86,10 @@ TINY_LLAMA = _register(ModelConfig(
     name="tiny-llama", vocab_size=512, hidden_size=64,
     intermediate_size=128, num_layers=2, num_heads=4, num_kv_heads=2,
     head_dim=16, rope_theta=1e4, qk_norm=False, seqlen=128,
+))
+TINY_QWEN2 = _register(ModelConfig(
+    name="tiny-qwen2", vocab_size=512, hidden_size=64,
+    intermediate_size=128, num_layers=2, num_heads=4, num_kv_heads=2,
+    head_dim=16, rope_theta=1e4, qk_norm=False, attention_bias=True,
+    seqlen=128,
 ))
