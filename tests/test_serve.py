@@ -351,3 +351,25 @@ def greedy_reference_cfg(params, cfg, ids, n_new):
         out.append(tok)
         ids.append(tok)
     return out
+
+
+def test_overlap_host_dispatch_token_identical(params):
+    """Pipelined decode (speculative chunk N+1 dispatch from the device
+    token carry) emits exactly the same tokens as synchronous ticks,
+    across mixed generation lengths and mid-stream admissions."""
+    import copy
+
+    prompts = [[5, 17, 42], [7, 9], [3, 1, 4, 1, 5], [2, 6]]
+    budgets = [6, 3, 9, 5]
+
+    def run(overlap):
+        scfg = ServeConfig(max_slots=2, page_size=8, num_pages=64,
+                           max_pages_per_slot=8, decode_chunk=4,
+                           overlap_host=overlap)
+        eng = Engine(copy.deepcopy(params), CFG, scfg)
+        reqs = [eng.submit(p, max_new_tokens=b)
+                for p, b in zip(prompts, budgets)]
+        eng.run()
+        return [r.output for r in reqs]
+
+    assert run(True) == run(False)

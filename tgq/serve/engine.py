@@ -49,6 +49,11 @@ class ServeConfig:
     # KV storage: 16 = bf16, 8 = int8 with per-token-per-head scales
     # (halves decode-attention traffic, doubles cache capacity)
     kv_bits: int = 16
+    # dispatch decode chunk N+1 from the on-device token carry before
+    # fetching chunk N's tokens: the device runs continuously while the
+    # host processes results (token-identical; a slot that finishes
+    # mid-pipeline just discards its speculative chunk)
+    overlap_host: bool = True
 
 
 @dataclasses.dataclass
@@ -121,6 +126,9 @@ class Engine:
         self.tokens_emitted = 0
         self.decode_wall_s = 0.0   # time in decode dispatch + token D2H
         self.prefill_wall_s = 0.0  # time in prefill dispatch + sampling
+        # in-flight decode chunk: (toks device array (n, slots),
+        # [(slot, Request), ...], n) — see _decode_tick
+        self._pending = None
 
     # ------------------------------------------------------------- API
 
@@ -138,7 +146,7 @@ class Engine:
     def run(self) -> list[Request]:
         """Drive until queue and slots are empty; returns finished reqs."""
         finished: list[Request] = []
-        while self.queue or any(self.slots):
+        while self.queue or any(self.slots) or self._pending is not None:
             self._admit()
             newly = self._decode_tick()
             finished.extend(newly)
@@ -245,37 +253,64 @@ class Engine:
             n //= 2
         return 1 << (n.bit_length() - 1)
 
-    def _decode_tick(self) -> list[Request]:
-        active = [s for s in range(self.scfg.max_slots) if self.slots[s]]
-        if not active:
-            return []
+    def _dispatch(self, tokens, active: list[int]) -> tuple:
+        """Dispatch one decode chunk (async).  ``tokens``: (slots,)
+        int32, host or device (the speculative path feeds the previous
+        chunk's on-device carry directly — no D2H on the critical path).
+        Returns the pending record (toks_dev, [(slot, req)], n)."""
         lens0 = np.asarray(self.pt.lens, np.int32)
         n = self._chunk_steps(active, lens0)
         for s in active:
             self.pt.extend(s, n)
         table, _ = self.pt.device_tables()
-        tokens = np.zeros((self.scfg.max_slots,), np.int32)
         temps = np.zeros((self.scfg.max_slots,), np.float32)
         for s in active:
             req = self.slots[s]
-            tokens[s] = req.output[-1]
             temps[s] = (req.temperature if req.temperature is not None
                         else self.scfg.temperature)
         # decode_step convention at step 0: lens includes the token
         # being decoded, pos = lens - 1
-        t0 = time.time()
         toks, self.cache, self.key = decode_steps(
             self.params, self.cache, self.cfg, table,
             jnp.asarray(lens0 + 1), jnp.asarray(tokens),
             jnp.asarray(lens0), jnp.asarray(temps), self.key, n,
             self.attn_impl,
         )
-        toks = np.asarray(toks)  # (n, slots) — the only D2H this tick
-        self.decode_wall_s += time.time() - t0
         self.steps += n
+        return toks, [(s, self.slots[s]) for s in active], n
+
+    def _can_speculate(self, pending) -> bool:
+        """Safe to dispatch chunk N+1 before reading chunk N's tokens:
+        nothing queued (admissions should interleave), and no slot can
+        finish inside chunk N (EOS can still surprise — a finished
+        slot's speculative tokens are discarded at collect)."""
+        if not self.scfg.overlap_host or self.queue:
+            return False
+        _, group, n = pending
+        if self.scfg.eos_id is not None:
+            return False  # any token may end a request mid-chunk
+        cap = self.scfg.max_pages_per_slot * self.scfg.page_size
+        for s, req in group:
+            if self.slots[s] is not req:
+                return False
+            if len(req.output) + n >= req.max_new_tokens:
+                return False  # finishes during the pending chunk
+            if int(self.pt.lens[s]) + 1 > cap:
+                return False
+        return True
+
+    def _collect(self, pending) -> list[Request]:
+        """Fetch a dispatched chunk's tokens and fold them into requests.
+        Slots whose request was retired (or replaced) since dispatch
+        discard their tokens — they were speculative garbage."""
+        toks_dev, group, n = pending
+        t0 = time.time()
+        toks = np.asarray(toks_dev)  # (n, slots) — blocks on the chunk
+        self.decode_wall_s += time.time() - t0
         finished = []
-        for s in active:
-            req = self.slots[s]
+        for s, req in group:
+            if self.slots[s] is not req:
+                continue
             for i in range(n):
                 tok = int(toks[i, s])
                 req.output.append(tok)
@@ -287,3 +322,28 @@ class Engine:
                     finished.append(req)
                     break
         return finished
+
+    def _decode_tick(self) -> list[Request]:
+        active = [s for s in range(self.scfg.max_slots) if self.slots[s]]
+        if self._pending is None:
+            if not active:
+                return []
+            tokens = np.zeros((self.scfg.max_slots,), np.int32)
+            for s in active:
+                tokens[s] = self.slots[s].output[-1]
+            t0 = time.time()
+            self._pending = self._dispatch(tokens, active)
+            self.decode_wall_s += time.time() - t0
+
+        pending = self._pending
+        spec = None
+        if self._can_speculate(pending):
+            # chunk N+1 from chunk N's on-device final tokens — the
+            # device stays busy while the host fetches/processes N
+            toks_dev, group, _ = pending
+            t0 = time.time()
+            spec = self._dispatch(toks_dev[-1], [s for s, _ in group])
+            self.decode_wall_s += time.time() - t0
+        out = self._collect(pending)
+        self._pending = spec
+        return out
