@@ -30,3 +30,66 @@ def test_tp_serving_matches_single_device(eight_devices):
 
     for r_ref, r_tp in zip(ref_reqs, tp_reqs):
         assert r_ref.output == r_tp.output, (r_ref.output, r_tp.output)
+
+
+def _pack_all(params, cfg, bits=8, group=32):
+    import copy
+
+    import jax.numpy as jnp
+
+    from tgq.core.packing import PackedLinear
+    from tgq.core.quant import QuantSpec, expand_params, find_params, quantize
+    from tgq.models.causal_lm import get_nested, set_nested, find_linear_paths
+
+    qparams = copy.deepcopy(params)
+    spec = QuantSpec(bits=bits, group_size=group, sym=False)
+    for lp in qparams["model"]["layers"]:
+        for name in find_linear_paths(cfg):
+            entry = get_nested(lp, name)
+            w = entry["w"].astype(jnp.float32)
+            p = find_params(w, spec)
+            s, z = expand_params(p, w.shape[1])
+            q = quantize(w, s, z, spec).astype(jnp.int32)
+            set_nested(lp, name, PackedLinear.from_codes(
+                q, p.scale, p.zero, spec, bias=entry.get("b")))
+    return qparams
+
+
+@pytest.mark.parametrize("preset", ["tiny-qwen3", "tiny-qwen2"])
+def test_tp_packed_serving_matches_single_device(eight_devices, preset):
+    """Packed-INT TP serving routes through the shard_map'd fused
+    matmul (col/row kinds, psum at block boundaries, biases added once)
+    and reproduces single-device packed greedy decode."""
+    cfg = PRESETS[preset]
+    params = init_params(cfg, jax.random.key(1))
+    if cfg.attention_bias:
+        import jax.numpy as jnp  # noqa: F401
+
+        key = jax.random.key(5)
+        for lp in params["model"]["layers"]:
+            for name in ("q_proj", "k_proj", "v_proj"):
+                p = lp["self_attn"][name]
+                key, sub = jax.random.split(key)
+                p["b"] = jax.random.normal(sub, p["b"].shape,
+                                           p["b"].dtype) * 0.5
+    qparams = _pack_all(params, cfg)
+    scfg = ServeConfig(max_slots=2, page_size=8, num_pages=64,
+                       max_pages_per_slot=8, max_new_tokens=5)
+    prompts = [[5, 17, 42, 100], [7, 7, 9]]
+
+    ref_eng = Engine(qparams, cfg, scfg)
+    ref_reqs = [ref_eng.submit(p) for p in prompts]
+    ref_eng.run()
+
+    mesh = make_mesh(data=4, devices=eight_devices)  # model axis 2
+    tp_eng = Engine(qparams, cfg, scfg, mesh=mesh)
+    from tgq.core.packing import PackedLinear as PL
+
+    stacked = tp_eng.params["model"]["layers"]
+    assert stacked["self_attn"]["q_proj"].tp_kind == "col"
+    assert stacked["self_attn"]["o_proj"].tp_kind == "row"
+    tp_reqs = [tp_eng.submit(p) for p in prompts]
+    tp_eng.run()
+
+    for r_ref, r_tp in zip(ref_reqs, tp_reqs):
+        assert r_ref.output == r_tp.output, (preset, r_ref.output, r_tp.output)

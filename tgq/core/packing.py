@@ -152,6 +152,13 @@ class PackedLinear:
     # optional additive bias (out,) — kept dense (Qwen2-family q/k/v
     # carry biases; quantizing them would gain nothing)
     bias: jax.Array | None = None
+    # TP role under a serving mesh ("col" = out-sharded q/k/v/gate/up,
+    # "row" = in-sharded o/down with a psum) — set by
+    # tgq.parallel.mesh.mark_tp_kinds; routes apply_linear through the
+    # shard_map'd kernel so each shard runs the fused dequant-matmul
+    # locally (a pallas_call inside pjit cannot be auto-partitioned)
+    tp_kind: str | None = dataclasses.field(
+        default=None, metadata={"static": True})
 
     @classmethod
     def from_codes(

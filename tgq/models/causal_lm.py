@@ -46,8 +46,19 @@ def apply_linear(p, x: jax.Array, layer=None) -> jax.Array:
     if isinstance(p, PackedLinear):
         from tgq.kernels.dequant_matmul import quantized_matmul
 
-        if layer is not None and p.codes.ndim == 3:
-            return quantized_matmul(x, p, layer=layer)
+        from tgq.parallel.mesh import quantized_matmul_tp, serving_mesh
+
+        mesh = serving_mesh()
+        if mesh is not None and p.tp_kind is not None:
+            return quantized_matmul_tp(
+                x, p, mesh, layer=layer if p.codes.ndim == 3 else None)
+        lyr = layer if p.codes.ndim == 3 else None
+        if mesh is not None:
+            # unmarked packed linear under a mesh: GSPMD cannot
+            # partition a pallas call — use the XLA dequant path
+            return quantized_matmul(x, p, impl="xla", layer=lyr)
+        if lyr is not None:
+            return quantized_matmul(x, p, layer=lyr)
         return quantized_matmul(x, p)
     w = p["w"]
     y = x @ w.T.astype(x.dtype)
@@ -224,7 +235,15 @@ def lm_logits(params: Params, cfg: ModelConfig, x: jax.Array) -> jax.Array:
         # (the vocab matmul reads >1 GB bf16 per decode step otherwise)
         from tgq.kernels.dequant_matmul import quantized_matmul
 
-        return quantized_matmul(x, params["lm_head"], out_dtype=jnp.float32)
+        head = params["lm_head"]
+        from tgq.parallel.mesh import serving_mesh
+
+        if serving_mesh() is not None:
+            # under a mesh, GSPMD cannot partition the pallas call;
+            # the XLA dequant path shards canonically (vocab on model)
+            return quantized_matmul(x, head, impl="xla",
+                                    out_dtype=jnp.float32)
+        return quantized_matmul(x, head, out_dtype=jnp.float32)
     else:
         w = linear_weight(params["lm_head"])
     return (x.astype(jnp.float32) @ w.T.astype(jnp.float32))

@@ -5,4 +5,8 @@ from tgq.parallel.mesh import (
     batch_sharding,
     replicated,
     dp_hessian_gram,
+    mark_tp_kinds,
+    quantized_matmul_tp,
+    serving_mesh,
+    set_serving_mesh,
 )

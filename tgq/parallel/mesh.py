@@ -138,3 +138,114 @@ def dp_hessian_gram(x: jax.Array, mesh: Mesh) -> jax.Array:
         return jax.lax.psum(g, "data")
 
     return local_gram(x2)
+
+
+# --------------------------------------- TP-routed packed matmul (serving)
+
+# The serving mesh for the engine currently tracing/dispatching.  A
+# pallas_call inside pjit cannot be auto-partitioned by GSPMD, so
+# apply_linear consults this to route PackedLinear matmuls through the
+# shard_map wrapper below (each shard runs the fused kernel locally).
+# Set by Engine around its dispatches; None = single-device.
+_SERVING_MESH: Optional[Mesh] = None
+
+
+def set_serving_mesh(mesh: Optional[Mesh]) -> Optional[Mesh]:
+    """Set the serving mesh; returns the previous value (for restore)."""
+    global _SERVING_MESH
+    prev = _SERVING_MESH
+    _SERVING_MESH = mesh
+    return prev
+
+
+def serving_mesh() -> Optional[Mesh]:
+    return _SERVING_MESH
+
+
+def mark_tp_kinds(params):
+    """Tag each packed projection with its TP role ("col"/"row") so
+    apply_linear can route it through quantized_matmul_tp.  Walks by
+    name (the same names the PartitionSpec rules shard); dense linears
+    and fused projections are untouched."""
+    import dataclasses as _dc
+
+    def walk(node, name=None):
+        if isinstance(node, PackedLinear):
+            if name in _COL_SHARDED:
+                return _dc.replace(node, tp_kind="col")
+            if name in _ROW_SHARDED:
+                return _dc.replace(node, tp_kind="row")
+            return node
+        if isinstance(node, dict):
+            return {k: walk(v, k) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v, name) for v in node]
+        return node
+
+    return walk(params)
+
+
+def _pad_spec(ndim: int, last: tuple) -> P:
+    """PartitionSpec for an ndim-rank leaf whose trailing dims get
+    ``last`` (leading stacked-layer dims stay unsharded)."""
+    return P(*([None] * (ndim - len(last))), *last)
+
+
+def quantized_matmul_tp(x: jax.Array, w: PackedLinear, mesh: Mesh,
+                        layer=None) -> jax.Array:
+    """shard_map'd fused dequant-matmul for TP-sharded PackedLinear.
+
+    col ("model" on out): x replicated, each shard computes its output
+    columns with the local kernel — no collective.
+    row ("model" on in):  x sharded on its contraction dim, local
+    kernel produces partial sums, one psum over "model" — the Megatron
+    block-boundary reduction.  A row bias is added once, after the psum.
+    """
+    import dataclasses as _dc
+
+    from tgq.kernels.dequant_matmul import quantized_matmul
+
+    col = w.tp_kind == "col"
+    tp = mesh.shape["model"]
+    wl = _dc.replace(w, tp_kind=None,
+                     bias=None if (not col) else w.bias)
+    if tp == 1:
+        y = quantized_matmul(x, wl, layer=layer)
+        if not col and w.bias is not None:
+            b = w.bias if w.bias.ndim == 1 else w.bias[layer]
+            y = y + b.astype(y.dtype)
+        return y
+
+    wk = (None, "model") if col else ("model", None)
+    w_specs = _dc.replace(
+        wl,
+        codes=_pad_spec(wl.codes.ndim, wk),
+        scale=_pad_spec(wl.scale.ndim, wk),
+        zero=_pad_spec(wl.zero.ndim, wk),
+        bias=(None if wl.bias is None
+              else _pad_spec(wl.bias.ndim, ("model",))),
+    )
+    x_spec = (_pad_spec(x.ndim, (None,)) if col
+              else _pad_spec(x.ndim, ("model",)))
+    out_spec = (_pad_spec(x.ndim, ("model",)) if col
+                else _pad_spec(x.ndim, (None,)))
+    lyr = None if layer is None else jnp.asarray(layer, jnp.int32)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(x_spec, w_specs, None if lyr is None else P()),
+             out_specs=out_spec)
+    def f(xs, ws, li):
+        # relabel static dims to the shard-local geometry
+        n_loc = ws.codes.shape[-2] * 8 // ws.bits
+        m_loc = ws.codes.shape[-1]
+        ws = _dc.replace(ws, in_features=n_loc, out_features=m_loc)
+        y = quantized_matmul(xs, ws, layer=li)
+        if not col:
+            y = jax.lax.psum(y, "model")
+        return y
+
+    y = f(x, wl, lyr)
+    if not col and w.bias is not None:
+        b = w.bias if w.bias.ndim == 1 else w.bias[layer]
+        y = y + b.astype(y.dtype)
+    return y

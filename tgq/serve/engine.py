@@ -94,9 +94,12 @@ class Engine:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from tgq.parallel import shard_params
+            from tgq.parallel import mark_tp_kinds, shard_params
             import dataclasses as _dc
 
+            # tag packed projections with their TP role so apply_linear
+            # routes them through the shard_map'd fused kernel
+            params = mark_tp_kinds(params)
             self.params = shard_params(params, mesh)
             # pools shard on the kv-head axis: k/v (L, P, page, kvh·d)
             # shard the fused head dim; scales (L, P, kvh, spad) shard
@@ -131,6 +134,24 @@ class Engine:
         self._pending = None
 
     # ------------------------------------------------------------- API
+
+    def _mesh_active(self):
+        """Context: publish this engine's mesh to apply_linear's TP
+        routing (tgq.parallel.mesh.serving_mesh) for the duration of a
+        dispatch — tracing happens inside the jitted call."""
+        from contextlib import contextmanager
+
+        from tgq.parallel import set_serving_mesh
+
+        @contextmanager
+        def ctx():
+            prev = set_serving_mesh(self.mesh)
+            try:
+                yield
+            finally:
+                set_serving_mesh(prev)
+
+        return ctx()
 
     def submit(self, prompt: list[int], max_new_tokens: Optional[int] = None,
                temperature: Optional[float] = None) -> Request:
@@ -204,11 +225,12 @@ class Engine:
                             else self.scfg.temperature)
                 slot_pages[i] = self.pt.alloc_slot(s, n_prompt)
                 self.slots[s] = req
-            toks, self.cache, self.key = prefill_batch(
-                self.params, self.cache, self.cfg, jnp.asarray(slot_pages),
-                jnp.asarray(ids), jnp.asarray(true_len), jnp.asarray(temps),
-                self.key,
-            )
+            with self._mesh_active():
+                toks, self.cache, self.key = prefill_batch(
+                    self.params, self.cache, self.cfg,
+                    jnp.asarray(slot_pages), jnp.asarray(ids),
+                    jnp.asarray(true_len), jnp.asarray(temps), self.key,
+                )
             toks = np.asarray(toks)
             now = time.time()
             self.prefill_wall_s += now - t0
@@ -270,12 +292,13 @@ class Engine:
                         else self.scfg.temperature)
         # decode_step convention at step 0: lens includes the token
         # being decoded, pos = lens - 1
-        toks, self.cache, self.key = decode_steps(
-            self.params, self.cache, self.cfg, table,
-            jnp.asarray(lens0 + 1), jnp.asarray(tokens),
-            jnp.asarray(lens0), jnp.asarray(temps), self.key, n,
-            self.attn_impl,
-        )
+        with self._mesh_active():
+            toks, self.cache, self.key = decode_steps(
+                self.params, self.cache, self.cfg, table,
+                jnp.asarray(lens0 + 1), jnp.asarray(tokens),
+                jnp.asarray(lens0), jnp.asarray(temps), self.key, n,
+                self.attn_impl,
+            )
         self.steps += n
         return toks, [(s, self.slots[s]) for s in active], n
 
