@@ -373,3 +373,53 @@ def test_overlap_host_dispatch_token_identical(params):
         return [r.output for r in reqs]
 
     assert run(True) == run(False)
+
+
+def test_kv_int4_roundtrip():
+    """INT4 nibble-packed KV: token + page writes reconstruct through
+    kv_gather within absmax/7 quantization error."""
+    from tgq.serve.kv_cache import (PagedKVCache, kv_gather, kv_write_pages,
+                                    kv_write_token)
+
+    rng = np.random.default_rng(3)
+    cache = PagedKVCache.init(CFG, num_pages=8, page_size=4, kv_bits=4)
+    assert cache.kv_bits == 4 and cache.k.dtype == jnp.uint8
+    kvh, d = CFG.num_kv_heads, CFG.head_dim
+    assert cache.head_dim == d
+
+    # page write (prefill): 1 slot, 2 pages = 8 tokens
+    seq = 8
+    k_new = jnp.asarray(rng.standard_normal((seq, kvh, d)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((seq, kvh, d)), jnp.float32)
+    cache = kv_write_pages(cache, 0, jnp.asarray([1, 2]), k_new, v_new)
+    # token write on top (slot at page 3, offset 1)
+    kt = jnp.asarray(rng.standard_normal((1, kvh, d)), jnp.float32)
+    vt = jnp.asarray(rng.standard_normal((1, kvh, d)), jnp.float32)
+    cache = kv_write_token(cache, 0, jnp.asarray([3]), jnp.asarray([1]),
+                           kt, vt)
+
+    table = jnp.asarray([[1, 2, 3]], jnp.int32)
+    kg, vg = kv_gather(cache, 0, table, dtype=jnp.float32)
+    got_k = np.asarray(kg[0, :seq])
+    rel = np.linalg.norm(got_k - np.asarray(k_new)) / np.linalg.norm(k_new)
+    assert rel < 0.12, rel   # absmax/7 on d=16 gaussian rows ~ 0.09 rel
+    got_t = np.asarray(kg[0, 2 * 4 + 1])
+    relt = np.linalg.norm(got_t - np.asarray(kt[0])) / np.linalg.norm(kt)
+    assert relt < 0.12, relt
+    got_v = np.asarray(vg[0, :seq])
+    relv = np.linalg.norm(got_v - np.asarray(v_new)) / np.linalg.norm(v_new)
+    assert relv < 0.12, relv
+
+
+def test_kv4_serving_runs_and_tracks_greedy(params):
+    """INT4 KV serving on the tiny model: decodes to completion and
+    stays close to the bf16 greedy path (identical here — the tiny
+    model's margins dwarf absmax/7 KV noise)."""
+    scfg = ServeConfig(max_slots=2, page_size=8, num_pages=32,
+                       max_pages_per_slot=8, max_new_tokens=5, kv_bits=4)
+    eng = Engine(params, CFG, scfg)
+    prompt = [5, 17, 42]
+    req = eng.submit(prompt)
+    eng.run()
+    assert len(req.output) == 5
+    assert req.output == greedy_reference(params, prompt, 5)

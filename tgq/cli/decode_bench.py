@@ -46,7 +46,7 @@ def main(argv=None) -> int:
     ap.add_argument("--slots", type=int, default=128)
     ap.add_argument("--context", type=int, default=256)
     ap.add_argument("--page_size", type=int, default=64)
-    ap.add_argument("--kv_bits", type=int, default=8, choices=(16, 8))
+    ap.add_argument("--kv_bits", type=int, default=8, choices=(16, 8, 4))
     ap.add_argument("--lm_head_bits", type=int, default=8, choices=(16, 8))
     ap.add_argument("--reps", type=int, default=8)
     args = ap.parse_args(argv)

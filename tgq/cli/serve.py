@@ -113,8 +113,9 @@ def main(argv=None) -> int:
                     help="vocab-head quantization (serving only; the "
                          "decode-step vocab matmul reads >1 GB bf16/step "
                          "dense)")
-    ap.add_argument("--kv_bits", type=int, default=16, choices=(16, 8),
-                    help="KV cache storage: bf16 or int8+scales")
+    ap.add_argument("--kv_bits", type=int, default=16, choices=(16, 8, 4),
+                    help="KV cache storage: bf16, int8+scales, or "
+                         "nibble-packed int4+scales")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--profile_dir", default=None,
                     help="write a jax.profiler trace here")

@@ -79,28 +79,36 @@ class _BlockCopy:
 
 def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
             init_flag_ref,
-            q_ref, k_ref, ks_ref, v_ref, vs_ref,
+            q_ref, k_ref, ks_ref, v_ref, vs_ref, kc_ref, vc_ref,
             o_ref,
             k_vmem, ks_vmem, v_vmem, vs_vmem, k_sems, v_sems, *,
             batch_size: int, pages_per_sequence: int, num_kv_heads: int,
-            pages_per_block: int,
+            pages_per_block: int, int4: bool,
             mask_value: float, attn_logits_soft_cap: float | None):
     b = pl.program_id(0)
     ppb = pages_per_block
     page_size = k_ref.shape[-2]
     block = ppb * page_size                      # tokens per loop step
-    fused = k_ref.shape[-1]                      # kv_heads * head_dim
+    fused = k_ref.shape[-1] * (2 if int4 else 1)  # kv_heads * head_dim
     head_dim = fused // num_kv_heads
     layer = layer_ref[0]
     length = lengths_ref[b]
     num_q_heads = q_ref.shape[0]
     group = num_q_heads // num_kv_heads
     quantized = ks_ref is not None
+    # current-token K/V arrive as registers (deferred pool writes): the
+    # pools then hold only tokens [0, length-1); the last position is
+    # folded into the softmax inline after the page loop
+    has_current = kc_ref is not None
 
     o_ref[...] = jnp.zeros_like(o_ref)
 
+    def pool_len_of(bb):
+        ln = lengths_ref[bb]
+        return jnp.maximum(ln - 1, 0) if has_current else ln
+
     def n_blocks_of(bb):
-        return lax.div(lengths_ref[bb] + block - 1, block)
+        return lax.div(pool_len_of(bb) + block - 1, block)
 
     def next_block(b, i):
         """First (b', i') with work at/after block i of slot b."""
@@ -108,7 +116,7 @@ def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
             nb = lax.fori_loop(
                 b + 1, batch_size,
                 lambda _, bb: jnp.where(
-                    lengths_ref[lax.clamp(0, bb, batch_size - 1)] == 0,
+                    n_blocks_of(lax.clamp(0, bb, batch_size - 1)) == 0,
                     bb + 1, bb),
                 b + 1)
             return nb, 0
@@ -150,6 +158,17 @@ def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
                 rows[:, :page_size] if rows.shape[1] != page_size else rows)
         return jnp.concatenate(per_page, axis=1) if ppb > 1 else per_page[0]
 
+    def _unpack(w):
+        """VMEM block → f32 (ppb·page, fused).  int4 pools store
+        nibble-packed split-half rows (kv_cache._absmax_quantize4):
+        one lane-concat of two shifted copies reconstructs the row."""
+        if not int4:
+            return w.astype(jnp.float32)
+        wi = w.astype(jnp.int32)
+        return jnp.concatenate(
+            [(wi & 0xF) - 8, ((wi >> 4) & 0xF) - 8], axis=-1
+        ).astype(jnp.float32)
+
     def block_body(i, carry):
         m_prev, l_prev, acc = carry
         buf = buffer_index_ref[0]
@@ -177,7 +196,7 @@ def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
 
         ck, cv = make_copies(b, i, buf)
         ck.wait()
-        k = k_vmem[buf].astype(jnp.float32)      # (ppb*page, kvh*d)
+        k = _unpack(k_vmem[buf])                 # (ppb*page, kvh*d)
         # DEFAULT (single-pass bf16) MXU precision: int8 codes are exact
         # in bf16 and ~1e-3 relative logits error is bf16-grade attention,
         # while HIGHEST (6-pass) multiplies the kernel's MXU time ~6x
@@ -188,7 +207,7 @@ def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
         if attn_logits_soft_cap is not None:
             qk = jnp.tanh(qk / attn_logits_soft_cap) * attn_logits_soft_cap
         t = i * block + lax.broadcasted_iota(jnp.int32, qk.shape, 1)
-        qk = qk + jnp.where(t < length, 0.0, mask_value)
+        qk = qk + jnp.where(t < pool_len_of(b), 0.0, mask_value)
 
         m_curr = qk.max(axis=-1)[:, None]        # (H, 1)
         m_next = jnp.maximum(m_prev, m_curr)
@@ -197,7 +216,7 @@ def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
         l_next = l_prev * alpha + p.sum(axis=-1)[:, None]
 
         cv.wait()
-        v = v_vmem[buf].astype(jnp.float32)      # (ppb*page, kvh*d)
+        v = _unpack(v_vmem[buf])                 # (ppb*page, kvh*d)
         if quantized:
             p_v = p * expand_rows(vs_vmem[buf])
         else:
@@ -209,8 +228,24 @@ def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
     m0 = jnp.full((num_q_heads, 1), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((num_q_heads, 1), jnp.float32)
     acc0 = jnp.zeros((num_q_heads, fused), jnp.float32)
-    _, l_fin, acc = lax.fori_loop(0, n_blocks_of(b), block_body,
-                                  (m0, l0, acc0))
+    m_fin, l_fin, acc = lax.fori_loop(0, n_blocks_of(b), block_body,
+                                      (m0, l0, acc0))
+
+    if has_current:
+        # fold the current token in from registers — one online-softmax
+        # step with a length-1 block (exact; never quantized)
+        kc = kc_ref[...].astype(jnp.float32)     # (1, fused)
+        vc = vc_ref[...].astype(jnp.float32)
+        qk_c = jax.lax.dot_general(qd, kc, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        if attn_logits_soft_cap is not None:
+            qk_c = jnp.tanh(
+                qk_c / attn_logits_soft_cap) * attn_logits_soft_cap
+        m_next = jnp.maximum(m_fin, qk_c)        # (H, 1)
+        alpha = jnp.exp(m_fin - m_next)
+        p_c = jnp.exp(qk_c - m_next)
+        l_fin = l_fin * alpha + p_c
+        acc = acc * alpha + p_c * vc             # (H,1)·(1,fused)
 
     @pl.when(length > 0)
     def _():
@@ -237,6 +272,8 @@ def paged_decode_attention(
     layer: jax.Array,
     lengths: jax.Array,
     page_indices: jax.Array,
+    k_current: jax.Array | None = None,
+    v_current: jax.Array | None = None,
     *,
     num_kv_heads: int,
     mask_value: float = DEFAULT_MASK_VALUE,
@@ -254,13 +291,20 @@ def paged_decode_attention(
         entries beyond page_size are ignored.  None for float storage.
       layer: scalar int32 — which layer's pools to attend against.
       lengths: (batch,) int32 — live context length per slot (0 = idle;
-        idle slots return zeros).
+        idle slots return zeros), INCLUDING the current token.
       page_indices: (batch, pages_per_sequence) int32 physical pages.
+      k_current/v_current: (batch, kv_heads*head_dim) — when given, the
+        current token's K/V are folded into the softmax from registers
+        and the pools are only read for tokens [0, length-1): the layer
+        scan can then defer all pool writes to one batched scatter per
+        decode step (tgq.serve.kv_cache.kv_write_token_all).
 
     Returns (batch, num_q_heads, head_dim) in q.dtype.
     """
     batch, num_q_heads, head_dim = q.shape
-    layers, _, page_size, fused = k_pages.shape
+    layers, _, page_size, fused_stored = k_pages.shape
+    int4 = k_pages.dtype == jnp.uint8   # nibble-packed (kv_cache docs)
+    fused = fused_stored * 2 if int4 else fused_stored
     _, pages_per_sequence = page_indices.shape
     assert fused == num_kv_heads * head_dim, (fused, num_kv_heads, head_dim)
     assert num_q_heads % num_kv_heads == 0, (num_q_heads, num_kv_heads)
@@ -275,8 +319,10 @@ def paged_decode_attention(
     # bandwidth (measured 170 → ~400 GB/s at 64KB pages)
     page_bytes = page_size * fused * k_pages.dtype.itemsize
     ppb = max(1, min(pages_per_sequence, 262144 // page_bytes))
+    has_current = k_current is not None
     io_spec = pl.BlockSpec((None, num_q_heads, head_dim),
                            lambda b, *_: (b, 0, 0))
+    cur_spec = pl.BlockSpec((None, 1, fused), lambda b, *_: (b, 0, 0))
     kv_buf = pltpu.VMEM((2, ppb * page_size, fused), k_pages.dtype)
     scale_buf = (pltpu.VMEM((2, ppb, num_kv_heads, spad), jnp.float32)
                  if quantized else None)
@@ -289,6 +335,7 @@ def paged_decode_attention(
             pages_per_sequence=pages_per_sequence,
             num_kv_heads=num_kv_heads,
             pages_per_block=ppb,
+            int4=int4,
             mask_value=mask_value,
             attn_logits_soft_cap=attn_logits_soft_cap,
         ),
@@ -301,6 +348,8 @@ def paged_decode_attention(
                 any_spec if quantized else None,
                 any_spec,
                 any_spec if quantized else None,
+                cur_spec if has_current else None,
+                cur_spec if has_current else None,
             ],
             out_specs=io_spec,
             grid=(batch,),
@@ -325,5 +374,9 @@ def paged_decode_attention(
         k_scales if quantized else None,
         v_pages,
         v_scales if quantized else None,
+        (k_current.astype(jnp.float32).reshape(batch, 1, fused)
+         if has_current else None),
+        (v_current.astype(jnp.float32).reshape(batch, 1, fused)
+         if has_current else None),
     )
     return out.astype(q.dtype)

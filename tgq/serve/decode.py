@@ -38,6 +38,7 @@ from tgq.serve.kv_cache import (
     kv_gather,
     kv_write_pages,
     kv_write_token,
+    kv_write_token_all,
 )
 
 
@@ -166,17 +167,24 @@ def _decode_layer(lp, li, cfg: ModelConfig, x, cache: PagedKVCache,
         k = rms_norm(k, lp["self_attn"]["k_norm"]["weight"], cfg.rms_norm_eps)
     q = _rope_at(cos_tab, sin_tab, pos, q)
     k = _rope_at(cos_tab, sin_tab, pos, k)
-    cache = kv_write_token(cache, li, pages, offsets, k, v)
 
+    kv_rows = None
     if attn_impl == "kernel":
         from tgq.kernels.paged_attention import paged_decode_attention
 
+        # deferred pool writes: the kernel folds the current token in
+        # from registers; the caller scatters all layers' rows at once
+        # (kv_write_token_all) after the layer scan
+        kv_rows = (k.reshape(slots, -1).astype(jnp.float32),
+                   v.reshape(slots, -1).astype(jnp.float32))
         scale = 1.0 / jnp.sqrt(jnp.float32(cfg.head_dim))
         attn = paged_decode_attention(
             (q * scale).astype(jnp.float32), cache.k, cache.v,
             cache.ks, cache.vs, li, lens, table,
+            kv_rows[0], kv_rows[1],
             num_kv_heads=cfg.num_kv_heads)
     else:
+        cache = kv_write_token(cache, li, pages, offsets, k, v)
         attn = _gather_attention(cfg, q, cache, li, table, lens)
 
     x = x + apply_linear(lp["self_attn"]["o_proj"],
@@ -191,7 +199,7 @@ def _decode_layer(lp, li, cfg: ModelConfig, x, cache: PagedKVCache,
         up = apply_linear(lp["mlp"]["up_proj"], h2, layer=li)
     x = x + apply_linear(lp["mlp"]["down_proj"], jax.nn.silu(gate) * up,
                          layer=li)
-    return x, cache
+    return x, cache, kv_rows
 
 
 def _decode_core(params, cache: PagedKVCache, cfg: ModelConfig,
@@ -216,23 +224,40 @@ def _decode_core(params, cache: PagedKVCache, cfg: ModelConfig,
 
     layers = params["model"]["layers"]
     if isinstance(layers, list):
+        rows = []
         for li, lp in enumerate(layers):
-            x, cache = _decode_layer(lp, li, cfg, x, cache, cos_tab, sin_tab,
-                                     pos, pages, offsets, table, lens,
-                                     attn_impl)
+            x, cache, kv_rows = _decode_layer(
+                lp, li, cfg, x, cache, cos_tab, sin_tab,
+                pos, pages, offsets, table, lens, attn_impl)
+            rows.append(kv_rows)
+        if rows and rows[0] is not None:
+            cache = kv_write_token_all(
+                cache, pages, offsets,
+                jnp.stack([r[0] for r in rows]).reshape(
+                    len(rows), slots, cfg.num_kv_heads, cfg.head_dim),
+                jnp.stack([r[1] for r in rows]).reshape(
+                    len(rows), slots, cfg.num_kv_heads, cfg.head_dim))
     else:
         n_layers = jax.tree.leaves(layers)[0].shape[0]
 
         def body(carry, li):
             x, cache = carry
             lp = _slice_layer(layers, li)
-            x, cache = _decode_layer(lp, li, cfg, x, cache, cos_tab, sin_tab,
-                                     pos, pages, offsets, table, lens,
-                                     attn_impl)
-            return (x, cache), None
+            x, cache, kv_rows = _decode_layer(
+                lp, li, cfg, x, cache, cos_tab, sin_tab,
+                pos, pages, offsets, table, lens, attn_impl)
+            return (x, cache), kv_rows
 
-        (x, cache), _ = jax.lax.scan(
+        (x, cache), rows = jax.lax.scan(
             body, (x, cache), jnp.arange(n_layers))
+        if rows is not None:
+            # one batched scatter for all layers' current-token K/V
+            cache = kv_write_token_all(
+                cache, pages, offsets,
+                rows[0].reshape(n_layers, slots, cfg.num_kv_heads,
+                                cfg.head_dim),
+                rows[1].reshape(n_layers, slots, cfg.num_kv_heads,
+                                cfg.head_dim))
 
     x = apply_final_norm(params, cfg, x[:, None])[:, 0]
     logits = lm_logits(params, cfg, x[:, None])[:, 0]

@@ -162,7 +162,11 @@ class PagedKVCache:
     k/v: (layers, num_pages, page_size, kv_heads·head_dim); for
     ``kv_bits=8`` the pools are int8 and ks/vs hold per-token-per-head
     absmax scales (layers, num_pages, kv_heads, scale_pad) f32 — token
-    dim lane-padded, entries ≥ page_size unused.
+    dim lane-padded, entries ≥ page_size unused.  For ``kv_bits=4`` the
+    pools are **uint8 nibble-packed split-half along the fused dim**
+    (byte j holds features j and j+fused/2, biased codes c+8 ∈ [0,15]);
+    the dtype alone distinguishes the formats (int8 ⇒ 8-bit, uint8 ⇒
+    4-bit) so no extra flag reaches the attention kernel.
     """
 
     k: jax.Array
@@ -177,11 +181,14 @@ class PagedKVCache:
              dtype=jnp.bfloat16, kv_bits: int = 16) -> "PagedKVCache":
         fused = cfg.num_kv_heads * cfg.head_dim
         shape = (cfg.num_layers, num_pages, page_size, fused)
-        if kv_bits == 8:
+        if kv_bits in (8, 4):
             sshape = (cfg.num_layers, num_pages, cfg.num_kv_heads,
                       scale_pad(page_size))
-            return cls(k=jnp.zeros(shape, jnp.int8),
-                       v=jnp.zeros(shape, jnp.int8),
+            if kv_bits == 4:
+                shape = shape[:-1] + (fused // 2,)
+            dt = jnp.int8 if kv_bits == 8 else jnp.uint8
+            return cls(k=jnp.zeros(shape, dt),
+                       v=jnp.zeros(shape, dt),
                        ks=jnp.zeros(sshape, jnp.float32),
                        vs=jnp.zeros(sshape, jnp.float32),
                        num_kv_heads=cfg.num_kv_heads)
@@ -190,12 +197,23 @@ class PagedKVCache:
                    num_kv_heads=cfg.num_kv_heads)
 
     @property
+    def kv_bits(self) -> int:
+        if self.k.dtype == jnp.uint8:
+            return 4
+        return 8 if self.k.dtype == jnp.int8 else 16
+
+    @property
     def page_size(self) -> int:
         return self.k.shape[2]
 
     @property
+    def fused_dim(self) -> int:
+        f = self.k.shape[3]
+        return f * 2 if self.kv_bits == 4 else f
+
+    @property
     def head_dim(self) -> int:
-        return self.k.shape[3] // self.num_kv_heads
+        return self.fused_dim // self.num_kv_heads
 
 
 def _absmax_quantize(x: jax.Array):
@@ -204,6 +222,31 @@ def _absmax_quantize(x: jax.Array):
     s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1) / 127.0, 1e-10)
     q = jnp.round(xf / s[..., None]).astype(jnp.int8)
     return q, s
+
+
+def _absmax_quantize4(x: jax.Array):
+    """(..., kvh, d) f32 → nibble-packed uint8 (..., kvh·d/2) +
+    (..., kvh) f32 per-head scales.
+
+    Scales are per token per head (symmetric absmax/7, codes clipped to
+    [-7, 7]); packing is split-half over the FLATTENED fused row —
+    byte j = (c[j]+8) | ((c[j+fused/2]+8) << 4) — so a token row
+    unpacks with one lane-concat regardless of head boundaries
+    (kv_unpack4)."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1) / 7.0, 1e-10)
+    q = jnp.clip(jnp.round(xf / s[..., None]), -7, 7).astype(jnp.int32) + 8
+    flat = q.reshape(*q.shape[:-2], -1)
+    half = flat.shape[-1] // 2
+    packed = flat[..., :half] | (flat[..., half:] << 4)
+    return packed.astype(jnp.uint8), s
+
+
+def kv_unpack4(w: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """Inverse of the nibble packing: (..., d/2) uint8 → (..., d)."""
+    wi = w.astype(jnp.int32)
+    return jnp.concatenate(
+        [(wi & 0xF) - 8, ((wi >> 4) & 0xF) - 8], axis=-1).astype(dtype)
 
 
 def _pad_scales(s: jax.Array, spad: int) -> jax.Array:
@@ -232,8 +275,9 @@ def kv_write_token(cache: PagedKVCache, layer, pages: jax.Array,
             k=cache.k.at[layer, pages, offsets].set(kf.astype(cache.k.dtype)),
             v=cache.v.at[layer, pages, offsets].set(vf.astype(cache.v.dtype)),
         )
-    qk, sk = _absmax_quantize(k_new)   # (slots, kvh, d), (slots, kvh)
-    qv, sv = _absmax_quantize(v_new)
+    quant = _absmax_quantize4 if cache.kv_bits == 4 else _absmax_quantize
+    qk, sk = quant(k_new)   # (slots, fused[/2] or kvh,d), (slots, kvh)
+    qv, sv = quant(v_new)
     return dataclasses.replace(
         cache,
         k=cache.k.at[layer, pages, offsets].set(qk.reshape(slots, -1)),
@@ -262,8 +306,9 @@ def kv_write_token_all(cache: PagedKVCache, pages: jax.Array,
             k=cache.k.at[:, pages, offsets].set(kf.astype(cache.k.dtype)),
             v=cache.v.at[:, pages, offsets].set(vf.astype(cache.v.dtype)),
         )
-    qk, sk = _absmax_quantize(k_all)   # (L, slots, kvh, d), (L, slots, kvh)
-    qv, sv = _absmax_quantize(v_all)
+    quant = _absmax_quantize4 if cache.kv_bits == 4 else _absmax_quantize
+    qk, sk = quant(k_all)              # codes, (L, slots, kvh)
+    qv, sv = quant(v_all)
     # ks (L, P, kvh, spad): the slice between the two advanced indices
     # moves the broadcast (slots) dim to the front — transpose to match
     return dataclasses.replace(
@@ -298,8 +343,9 @@ def kv_write_pages(cache: PagedKVCache, layer, slot_pages: jax.Array,
             v=cache.v.at[layer, slot_pages].set(
                 tile(vf).astype(cache.v.dtype)),
         )
-    qk, sk = _absmax_quantize(k_new)   # ([b,] seq, kvh, d), ([b,] seq, kvh)
-    qv, sv = _absmax_quantize(v_new)
+    quant = _absmax_quantize4 if cache.kv_bits == 4 else _absmax_quantize
+    qk, sk = quant(k_new)              # codes, ([b,] seq, kvh)
+    qv, sv = quant(v_new)
     spad = cache.ks.shape[-1]
 
     def tile_s(s):  # ([b,] seq, kvh) → ([b,] n_pages, kvh, spad)
@@ -309,8 +355,10 @@ def kv_write_pages(cache: PagedKVCache, layer, slot_pages: jax.Array,
 
     return dataclasses.replace(
         cache,
-        k=cache.k.at[layer, slot_pages].set(tile(qk.reshape(*kf.shape))),
-        v=cache.v.at[layer, slot_pages].set(tile(qv.reshape(*vf.shape))),
+        k=cache.k.at[layer, slot_pages].set(
+            tile(qk.reshape(*kf.shape[:-1], -1))),
+        v=cache.v.at[layer, slot_pages].set(
+            tile(qv.reshape(*vf.shape[:-1], -1))),
         ks=cache.ks.at[layer, slot_pages].set(tile_s(sk)),
         vs=cache.vs.at[layer, slot_pages].set(tile_s(sv)),
     )
@@ -331,10 +379,13 @@ def kv_gather(cache: PagedKVCache, layer, table: jax.Array,
     slots, mpps = table.shape
     kvh = cache.num_kv_heads
     d = cache.head_dim
-    k_l = cache.k[layer]
-    v_l = cache.v[layer]
-    kg = k_l[table].reshape(slots, mpps * page, kvh, d).astype(dtype)
-    vg = v_l[table].reshape(slots, mpps * page, kvh, d).astype(dtype)
+    k_l = cache.k[layer][table]  # gather pages, then unpack rows
+    v_l = cache.v[layer][table]
+    if cache.kv_bits == 4:
+        k_l = kv_unpack4(k_l, dtype)
+        v_l = kv_unpack4(v_l, dtype)
+    kg = k_l.reshape(slots, mpps * page, kvh, d).astype(dtype)
+    vg = v_l.reshape(slots, mpps * page, kvh, d).astype(dtype)
     if cache.ks is not None:
         ks_l = cache.ks[layer][:, :, :page]   # (P, kvh, page)
         vs_l = cache.vs[layer][:, :, :page]
