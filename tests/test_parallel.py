@@ -60,3 +60,37 @@ def test_dp_hessian_exact(eight_devices):
     np.testing.assert_allclose(
         np.asarray(h), x.T @ x, rtol=1e-5, atol=1e-4
     )
+
+
+def test_sharding_specs_for_packed_bias_and_head():
+    """PackedLinear bias leaves get the 1-D out spec; a packed lm_head
+    keeps vocab (not the contraction dim) on the model axis."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from tgq.core.packing import PackedLinear
+    from tgq.core.quant import QuantSpec
+    from tgq.parallel import param_sharding_rules
+
+    spec = QuantSpec(bits=8, group_size=32, sym=False)
+    q = jnp.zeros((16, 64), jnp.int32)
+    sc = jnp.ones((16, 2), jnp.float32).T * 0 + 1
+    pl = PackedLinear.from_codes(q, jnp.ones((16, 2)), jnp.zeros((16, 2)),
+                                 spec, bias=jnp.zeros((16,)))
+    params = {
+        "model": {"layers": [{"self_attn": {"q_proj": pl, "o_proj": pl}}]},
+        "lm_head": pl,
+    }
+    rules = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: leaf, param_sharding_rules(params))
+    qp = params["model"]["layers"][0]["self_attn"]
+    rq = param_sharding_rules(params)
+    lq = rq["model"]["layers"][0]["self_attn"]["q_proj"]
+    lo = rq["model"]["layers"][0]["self_attn"]["o_proj"]
+    lh = rq["lm_head"]
+    assert lq.codes == P(None, "model")      # col: out on model
+    assert lq.bias == P("model")             # 1-D out spec, not rank-2
+    assert lo.codes == P("model", None)      # row: in on model
+    assert lo.bias == P()                    # row bias replicated
+    assert lh.codes == P(None, "model")      # vocab on model (K-major)
+    assert lh.bias == P("model")

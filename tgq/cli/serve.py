@@ -27,6 +27,7 @@ def load_or_make_model(args):
         from tgq.core.checkpoint import load_quantized
 
         params, cfg, _ = load_quantized(args.checkpoint)
+        _maybe_pack_head(params, args, jnp)
         return params, cfg
 
     from tgq.models.config import PRESETS
@@ -82,8 +83,31 @@ def load_or_make_model(args):
     params["model"]["embed_tokens"] = jax.device_put(params["model"]["embed_tokens"])
     params["model"]["norm"] = jax.device_put(params["model"]["norm"])
     if "lm_head" in params:
-        params["lm_head"] = jax.device_put(params["lm_head"])
+        if not _maybe_pack_head(params, args, jnp):
+            params["lm_head"] = jax.device_put(params["lm_head"])
     return params, cfg
+
+
+def _maybe_pack_head(params, args, jnp) -> bool:
+    """RTN-pack a dense lm_head when --lm_head_bits asks for it —
+    applied on every load path (checkpoint, HF import, preset), not
+    just the synthetic fast path.  Returns True if packed."""
+    import jax
+
+    head = params.get("lm_head")
+    if args.lm_head_bits >= 16 or not isinstance(head, dict):
+        return False
+    from tgq.core.packing import PackedLinear
+    from tgq.core.quant import QuantSpec, expand_params, find_params, quantize
+
+    spec = QuantSpec(bits=args.lm_head_bits, group_size=args.group_size,
+                     sym=False)
+    w = jax.device_put(head["w"]).astype(jnp.float32)
+    p = find_params(w, spec)
+    s, z = expand_params(p, w.shape[1])
+    q = quantize(w, s, z, spec).astype(jnp.int32)
+    params["lm_head"] = PackedLinear.from_codes(q, p.scale, p.zero, spec)
+    return True
 
 
 def main(argv=None) -> int:

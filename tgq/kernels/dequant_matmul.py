@@ -121,6 +121,9 @@ def quantized_matmul(
         return y.astype(out_dtype).reshape(*lead, m)
 
     if impl == "xla" or w.group_size <= 0 or n % w.group_size:
+        if stacked:
+            w = jax.tree.map(lambda a: a[layer], w)
+            stacked = False
         y = x2.astype(jnp.float32) @ w.dequantize(jnp.float32).T
         return finish(y, w)
 

@@ -160,14 +160,13 @@ def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
 
     def _unpack(w):
         """VMEM block → f32 (ppb·page, fused).  int4 pools store
-        nibble-packed split-half rows (kv_cache._absmax_quantize4):
-        one lane-concat of two shifted copies reconstructs the row."""
+        nibble-packed split-half rows — the same kv_unpack4 lane-concat
+        the gather fallback uses, so the formats cannot diverge."""
         if not int4:
             return w.astype(jnp.float32)
-        wi = w.astype(jnp.int32)
-        return jnp.concatenate(
-            [(wi & 0xF) - 8, ((wi >> 4) & 0xF) - 8], axis=-1
-        ).astype(jnp.float32)
+        from tgq.serve.kv_cache import kv_unpack4
+
+        return kv_unpack4(w, jnp.float32)
 
     def block_body(i, carry):
         m_prev, l_prev, acc = carry
@@ -317,13 +316,13 @@ def paged_decode_attention(
     # ~256KB — the loop is DMA-issue-latency-bound at page granularity,
     # and fewer, bigger waits with 2·ppb copies in flight recover the
     # bandwidth (measured 170 → ~400 GB/s at 64KB pages)
-    page_bytes = page_size * fused * k_pages.dtype.itemsize
+    page_bytes = page_size * fused_stored * k_pages.dtype.itemsize
     ppb = max(1, min(pages_per_sequence, 262144 // page_bytes))
     has_current = k_current is not None
     io_spec = pl.BlockSpec((None, num_q_heads, head_dim),
                            lambda b, *_: (b, 0, 0))
     cur_spec = pl.BlockSpec((None, 1, fused), lambda b, *_: (b, 0, 0))
-    kv_buf = pltpu.VMEM((2, ppb * page_size, fused), k_pages.dtype)
+    kv_buf = pltpu.VMEM((2, ppb * page_size, fused_stored), k_pages.dtype)
     scale_buf = (pltpu.VMEM((2, ppb, num_kv_heads, spad), jnp.float32)
                  if quantized else None)
     any_spec = pl.BlockSpec(memory_space=pltpu.ANY)

@@ -66,10 +66,16 @@ def _spec_for_path(path: tuple) -> P:
     if "embed_tokens" in keys:
         return P("model", None)          # vocab-sharded
     if "lm_head" in keys:
+        if keys[-1] in ("codes", "scale", "zero"):
+            # packed head is K-major (in/groups, vocab): vocab on model
+            return P(None, "model")
+        if keys[-1] == "bias":
+            return P("model")
         return P("model", None)
     for i, k in enumerate(keys):
         if k.endswith("_proj"):
-            if keys[-1] == "b":
+            if keys[-1] == "b" or keys[-1] == "bias":
+                # dense bias "b" / PackedLinear dense bias: 1-D (out,)
                 return _linear_spec(k, for_bias=True)
             spec = _linear_spec(k)
             if keys[-1] in ("codes", "scale", "zero"):
