@@ -15,6 +15,9 @@ quantization.log shows layer 1 at 44 s wall).
 Prints ONE JSON line:
   {"metric": "qwen3_8b_layer_quantize_seconds", "value": <s>,
    "unit": "s", "vs_baseline": <42.6 / value>}  (>1 = faster than ref)
+
+Always emits a parseable JSON line, even on TPU backend-init failure
+(status field carries the error); one retry on backend unavailability.
 """
 import argparse
 import json
@@ -22,6 +25,46 @@ import sys
 import time
 
 import numpy as np
+
+BASELINE_S = 1534.3 / 36.0  # reference Trunc_W4_Asym seconds per layer (A100)
+
+
+def _init_backend(retries: int = 1, wait_s: float = 30.0):
+    """Import jax and force backend init, retrying once on UNAVAILABLE.
+
+    The axon TPU tunnel can be transiently unreachable; round 1 died with
+    an uncaught RuntimeError here (VERDICT weak #1).  Returns
+    (jax, backend_name) or (jax, None) if only initialization failed.
+    """
+    import jax
+
+    last_err = None
+    for attempt in range(retries + 1):
+        try:
+            backend = jax.default_backend()
+            jax.devices()  # force full client init
+            return jax, backend
+        except Exception as e:  # RuntimeError/JaxRuntimeError on init failure
+            last_err = e
+            print(f"[bench] backend init failed "
+                  f"(attempt {attempt + 1}/{retries + 1}): {e}",
+                  file=sys.stderr)
+            if attempt < retries:
+                time.sleep(wait_s)
+    # final fallback: explicit CPU so the bench still produces a number
+    try:
+        cpu = jax.devices("cpu")
+        if cpu:
+            jax.config.update("jax_default_device", cpu[0])
+            return jax, "cpu-fallback"
+    except Exception:
+        pass
+    print(json.dumps({
+        "metric": "qwen3_8b_layer_quantize_seconds",
+        "value": None, "unit": "s", "vs_baseline": None,
+        "status": f"backend-init-failed: {last_err}",
+    }))
+    raise SystemExit(0)
 
 
 def main() -> None:
@@ -38,7 +81,7 @@ def main() -> None:
                          "per-phase attribution (serializes the pipeline)")
     args = ap.parse_args()
 
-    import jax
+    jax, backend = _init_backend()
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -47,13 +90,25 @@ def main() -> None:
     from tgq.models import PRESETS, init_params, rope_cache
     from tgq.models.causal_lm import sequenced_groups
 
-    cfg = PRESETS["qwen3-8b"]
-    qcfg = QuantizeConfig(mode=args.mode, w_bits=args.w_bits, group_size=128,
+    on_tpu = backend == "tpu"
+    attn_impl = "flash" if on_tpu else "naive"
+    preset = "qwen3-8b"
+    if not on_tpu:
+        # 8B-geometry Hessian factorizations (12288^2) are infeasible on
+        # host CPU regardless of sample count; smoke-test the tiny preset
+        # and say so in the status field
+        preset = "tiny-qwen3"
+        args.n_samples = min(args.n_samples, 4)
+        args.seq_len = min(args.seq_len, 128)
+        args.batch_size = min(args.batch_size, 2)
+        print(f"[bench] backend={backend}: smoke-test on {preset} "
+              f"(n={args.n_samples}, s={args.seq_len})", file=sys.stderr)
+    cfg = PRESETS[preset]
+    qcfg = QuantizeConfig(mode=args.mode, w_bits=args.w_bits,
+                          group_size=128 if on_tpu else -1,
                           batch_size=args.batch_size, eps=1e-6,
                           threshold_method="energy", log_rel_error=False,
                           kernel_backend=args.kernel_backend)
-    on_tpu = jax.default_backend() == "tpu"
-    attn_impl = "flash" if on_tpu else "naive"
 
     # one random decoder layer + calibration activations at real shapes
     key = jax.random.key(0)
@@ -89,14 +144,32 @@ def main() -> None:
         print(f"[bench] {k:16s} {v['total_s']:7.2f}s (n={v['count']})",
               file=sys.stderr)
 
-    baseline_s = 1534.3 / 36.0
-    print(json.dumps({
+    out = {
         "metric": "qwen3_8b_layer_quantize_seconds",
         "value": round(t, 2),
         "unit": "s",
-        "vs_baseline": round(baseline_s / t, 3),
-    }))
+        "vs_baseline": round(BASELINE_S / t, 3),
+    }
+    if not on_tpu:
+        out["status"] = (f"backend={backend}: smoke-test on {preset} "
+                         f"(n={args.n_samples}, s={args.seq_len}); "
+                         f"vs_baseline not comparable")
+        out["vs_baseline"] = None
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except Exception as e:  # always leave one parseable JSON line behind
+        import traceback
+
+        traceback.print_exc()
+        print(json.dumps({
+            "metric": "qwen3_8b_layer_quantize_seconds",
+            "value": None, "unit": "s", "vs_baseline": None,
+            "status": f"bench-failed: {type(e).__name__}: {e}",
+        }))
+        raise SystemExit(0)

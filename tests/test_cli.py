@@ -49,6 +49,9 @@ def test_cli_quantize_e2e(tmp_path):
     assert rc == 0
     res = json.load(open(os.path.join(out, "results.json")))
     assert np.isfinite(res["metrics"]["quantized_ppl"])
+    # pipeline metrics must survive the final-eval merge (round-1 clobber bug)
+    assert "phase_timing" in res["metrics"]
+    assert "total_time" in res["metrics"]
     assert len(res["layer_stats"]) == 14
     assert os.path.exists(os.path.join(out, "weights.npz"))
     assert os.path.exists(os.path.join(out, "quantization.log"))

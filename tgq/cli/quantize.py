@@ -119,7 +119,9 @@ def main(argv=None) -> int:
         log.info("Running final evaluation...")
         ppl = eval_ppl(params)
         log.info("Final Quantized PPL: %.4f", ppl)
-        experiment_log["metrics"] = {"total_time": total, "quantized_ppl": ppl}
+        # merge — the pipeline already populated metrics (phase_timing etc.)
+        experiment_log["metrics"].update(
+            {"total_time": total, "quantized_ppl": ppl})
 
     os.makedirs(args.save_path, exist_ok=True)
     with open(os.path.join(args.save_path, "results.json"), "w") as f:

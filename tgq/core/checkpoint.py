@@ -128,6 +128,16 @@ def load_quantized(path: str):
         else:
             cur[last] = value
 
+    # only treat a group as PackedLinear when the __packed__ marker is
+    # present; a plain param that merely ends in .bias/.scale/... (e.g. a
+    # future dense '.bias' leaf) falls back to the plain-param path
+    # instead of a KeyError on parts["codes"]
+    for base, parts in list(packed_groups.items()):
+        if "__packed__" not in parts:
+            for leaf, arr in parts.items():
+                plain[f"{base}.{leaf}"] = arr
+            del packed_groups[base]
+
     for name, arr in plain.items():
         insert(tree, name, arr)
     for base, parts in packed_groups.items():

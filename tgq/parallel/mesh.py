@@ -148,24 +148,47 @@ def dp_hessian_gram(x: jax.Array, mesh: Mesh) -> jax.Array:
 
 # --------------------------------------- TP-routed packed matmul (serving)
 
-# The serving mesh for the engine currently tracing/dispatching.  A
+# The serving mesh for the dispatch currently being traced.  A
 # pallas_call inside pjit cannot be auto-partitioned by GSPMD, so
 # apply_linear consults this to route PackedLinear matmuls through the
 # shard_map wrapper below (each shard runs the fused kernel locally).
-# Set by Engine around its dispatches; None = single-device.
-_SERVING_MESH: Optional[Mesh] = None
+#
+# A ContextVar, not a module global: two engines (or an engine + a
+# calibration run) in one process — even on different threads — each see
+# only the mesh their own dispatch scoped.  The jitted serve entry
+# points additionally take the mesh as a *static* argument so the jit
+# cache distinguishes mesh/non-mesh traces of structurally identical
+# params (round-1 ADVICE: cache-key aliasing).
+import contextvars as _contextvars
+
+_SERVING_MESH: _contextvars.ContextVar[Optional[Mesh]] = (
+    _contextvars.ContextVar("tgq_serving_mesh", default=None))
 
 
 def set_serving_mesh(mesh: Optional[Mesh]) -> Optional[Mesh]:
     """Set the serving mesh; returns the previous value (for restore)."""
-    global _SERVING_MESH
-    prev = _SERVING_MESH
-    _SERVING_MESH = mesh
+    prev = _SERVING_MESH.get()
+    _SERVING_MESH.set(mesh)
     return prev
 
 
 def serving_mesh() -> Optional[Mesh]:
-    return _SERVING_MESH
+    return _SERVING_MESH.get()
+
+
+def serving_mesh_scope(mesh: Optional[Mesh]):
+    """Context manager scoping the serving mesh for one trace/dispatch."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def ctx():
+        prev = set_serving_mesh(mesh)
+        try:
+            yield
+        finally:
+            set_serving_mesh(prev)
+
+    return ctx()
 
 
 def mark_tp_kinds(params):

@@ -264,8 +264,19 @@ def _decode_core(params, cache: PagedKVCache, cfg: ModelConfig,
     return logits, cache
 
 
-decode_step = partial(jax.jit, static_argnames=("cfg", "attn_impl"),
-                      donate_argnums=(1,))(_decode_core)
+@partial(jax.jit, static_argnames=("cfg", "attn_impl", "mesh"),
+         donate_argnums=(1,))
+def decode_step(params, cache: PagedKVCache, cfg: ModelConfig,
+                table, lens, tokens, pos, attn_impl: str = "gather",
+                mesh=None):
+    """One decode token per slot.  ``mesh`` is static and scopes the TP
+    routing of packed matmuls for this trace — part of the jit cache key
+    so mesh/non-mesh engines never alias a compiled program."""
+    from tgq.parallel.mesh import serving_mesh_scope
+
+    with serving_mesh_scope(mesh):
+        return _decode_core(params, cache, cfg, table, lens, tokens, pos,
+                            attn_impl)
 
 
 def _sample_tokens(logits, temps, key):
@@ -279,11 +290,11 @@ def _sample_tokens(logits, temps, key):
     return jnp.where(temps > 0, sampled, greedy), key
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_steps", "attn_impl"),
+@partial(jax.jit, static_argnames=("cfg", "n_steps", "attn_impl", "mesh"),
          donate_argnums=(1,))
 def decode_steps(params, cache: PagedKVCache, cfg: ModelConfig,
                  table, lens, tokens, pos, temps, key, n_steps: int,
-                 attn_impl: str = "gather"):
+                 attn_impl: str = "gather", mesh=None):
     """``n_steps`` tokens for every slot with zero host round-trips.
 
     The per-step host sync (sampled-token D2H + full-logits transfer)
@@ -297,6 +308,8 @@ def decode_steps(params, cache: PagedKVCache, cfg: ModelConfig,
     includes the token being decoded; pos = lens - 1); both advance by 1
     each scanned step.  Returns (tokens (n_steps, slots), cache, key).
     """
+    from tgq.parallel.mesh import serving_mesh_scope
+
     def step(carry, _):
         cache, tok, lens, pos, key = carry
         logits, cache = _decode_core(params, cache, cfg, table, lens, tok,
@@ -304,8 +317,9 @@ def decode_steps(params, cache: PagedKVCache, cfg: ModelConfig,
         tok, key = _sample_tokens(logits, temps, key)
         return (cache, tok, lens + 1, pos + 1, key), tok
 
-    (cache, _, _, _, key), toks = jax.lax.scan(
-        step, (cache, tokens, lens, pos, key), None, length=n_steps)
+    with serving_mesh_scope(mesh):
+        (cache, _, _, _, key), toks = jax.lax.scan(
+            step, (cache, tokens, lens, pos, key), None, length=n_steps)
     return toks, cache, key
 
 
@@ -349,15 +363,18 @@ def _prefill_layer(lp, li, cfg: ModelConfig, x, cache: PagedKVCache,
     return x, cache
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+@partial(jax.jit, static_argnames=("cfg", "mesh"), donate_argnums=(1,))
 def prefill(params, cache: PagedKVCache, cfg: ModelConfig,
-            slot_pages, input_ids, true_len):
+            slot_pages, input_ids, true_len, mesh=None):
     """Process one prompt (padded to a page multiple) and fill its pages.
 
     slot_pages: (n_pages,) physical pages; input_ids: (1, seq_pad);
     true_len: scalar — returns (last-token logits, cache)."""
-    logits, cache = _prefill_core(params, cache, cfg, slot_pages[None],
-                                  input_ids, true_len[None])
+    from tgq.parallel.mesh import serving_mesh_scope
+
+    with serving_mesh_scope(mesh):
+        logits, cache = _prefill_core(params, cache, cfg, slot_pages[None],
+                                      input_ids, true_len[None])
     return logits[0], cache
 
 
@@ -397,13 +414,16 @@ def _prefill_core(params, cache: PagedKVCache, cfg: ModelConfig,
     return logits, cache
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+@partial(jax.jit, static_argnames=("cfg", "mesh"), donate_argnums=(1,))
 def prefill_batch(params, cache: PagedKVCache, cfg: ModelConfig,
-                  slot_pages, input_ids, true_len, temps, key):
+                  slot_pages, input_ids, true_len, temps, key, mesh=None):
     """Batched prefill with on-device sampling: returns (first tokens
     (b,) int32, cache, key) — only b int32s cross to the host, and b
     prompts cost one dispatch instead of b (admission-wave TTFT)."""
-    logits, cache = _prefill_core(params, cache, cfg, slot_pages, input_ids,
-                                  true_len)
-    toks, key = _sample_tokens(logits, temps, key)
+    from tgq.parallel.mesh import serving_mesh_scope
+
+    with serving_mesh_scope(mesh):
+        logits, cache = _prefill_core(params, cache, cfg, slot_pages,
+                                      input_ids, true_len)
+        toks, key = _sample_tokens(logits, temps, key)
     return toks, cache, key

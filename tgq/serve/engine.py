@@ -135,24 +135,6 @@ class Engine:
 
     # ------------------------------------------------------------- API
 
-    def _mesh_active(self):
-        """Context: publish this engine's mesh to apply_linear's TP
-        routing (tgq.parallel.mesh.serving_mesh) for the duration of a
-        dispatch — tracing happens inside the jitted call."""
-        from contextlib import contextmanager
-
-        from tgq.parallel import set_serving_mesh
-
-        @contextmanager
-        def ctx():
-            prev = set_serving_mesh(self.mesh)
-            try:
-                yield
-            finally:
-                set_serving_mesh(prev)
-
-        return ctx()
-
     def submit(self, prompt: list[int], max_new_tokens: Optional[int] = None,
                temperature: Optional[float] = None) -> Request:
         req = Request(
@@ -225,12 +207,12 @@ class Engine:
                             else self.scfg.temperature)
                 slot_pages[i] = self.pt.alloc_slot(s, n_prompt)
                 self.slots[s] = req
-            with self._mesh_active():
-                toks, self.cache, self.key = prefill_batch(
-                    self.params, self.cache, self.cfg,
-                    jnp.asarray(slot_pages), jnp.asarray(ids),
-                    jnp.asarray(true_len), jnp.asarray(temps), self.key,
-                )
+            toks, self.cache, self.key = prefill_batch(
+                self.params, self.cache, self.cfg,
+                jnp.asarray(slot_pages), jnp.asarray(ids),
+                jnp.asarray(true_len), jnp.asarray(temps), self.key,
+                mesh=self.mesh,
+            )
             toks = np.asarray(toks)
             now = time.time()
             self.prefill_wall_s += now - t0
@@ -292,13 +274,12 @@ class Engine:
                         else self.scfg.temperature)
         # decode_step convention at step 0: lens includes the token
         # being decoded, pos = lens - 1
-        with self._mesh_active():
-            toks, self.cache, self.key = decode_steps(
-                self.params, self.cache, self.cfg, table,
-                jnp.asarray(lens0 + 1), jnp.asarray(tokens),
-                jnp.asarray(lens0), jnp.asarray(temps), self.key, n,
-                self.attn_impl,
-            )
+        toks, self.cache, self.key = decode_steps(
+            self.params, self.cache, self.cfg, table,
+            jnp.asarray(lens0 + 1), jnp.asarray(tokens),
+            jnp.asarray(lens0), jnp.asarray(temps), self.key, n,
+            self.attn_impl, mesh=self.mesh,
+        )
         self.steps += n
         return toks, [(s, self.slots[s]) for s in active], n
 

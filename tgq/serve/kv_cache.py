@@ -173,8 +173,17 @@ class PagedKVCache:
     v: jax.Array
     ks: Optional[jax.Array] = None
     vs: Optional[jax.Array] = None
+    # required (kw-only): a silently-defaulted value mis-derives
+    # head_dim/fused_dim for any cache built outside .init()
     num_kv_heads: int = dataclasses.field(
-        default=1, metadata=dict(static=True))
+        kw_only=True, metadata=dict(static=True))
+
+    def __post_init__(self):
+        # guard: JAX tree transforms may unflatten with sentinel leaves
+        shape = getattr(self.k, "shape", None)
+        if shape is not None and len(shape) == 4 and hasattr(self.k, "dtype"):
+            assert self.fused_dim % self.num_kv_heads == 0, (
+                shape, self.num_kv_heads)
 
     @classmethod
     def init(cls, cfg: ModelConfig, num_pages: int, page_size: int,
