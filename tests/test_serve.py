@@ -100,8 +100,14 @@ def test_page_allocator_backends_equivalent(rng):
                     b.extend(s, 1)
         elif op == 2 and active:
             s = sorted(active)[int(rng.integers(0, len(active)))]
-            a.free_slot(s)
-            b.free_slot(s)
+            if rng.integers(0, 2):
+                a.free_slot(s)
+                b.free_slot(s)
+            else:  # detach/release round-trip (deferred frees)
+                pa, pb = a.detach_slot(s), b.detach_slot(s)
+                assert pa == pb
+                a.release_pages(pa)
+                b.release_pages(pb)
             active.discard(s)
         assert a.lens == b.lens
         assert a.num_free == b.num_free
@@ -373,6 +379,55 @@ def test_overlap_host_dispatch_token_identical(params):
         return [r.output for r in reqs]
 
     assert run(True) == run(False)
+
+
+def test_overlap_host_eos_mid_chunk_token_identical(params):
+    """EOS-safe speculative pipelining: with ``eos_id`` set and an EOS
+    landing mid-chunk, the pipelined engine still matches synchronous
+    ticks token-for-token, and retired slots' pages stay out of the
+    free pool until the in-flight chunk completes (the tiny page pool
+    forces the next admission to want exactly those pages)."""
+    import copy
+
+    prompts = [[5, 17, 42], [7, 9], [3, 1, 4, 1, 5], [2, 6], [11, 13]]
+    budgets = [7, 9, 8, 6, 7]
+
+    # discover a token the model emits mid-stream, to use as EOS
+    probe_cfg = ServeConfig(max_slots=2, page_size=8, num_pages=64,
+                            max_pages_per_slot=8, decode_chunk=4,
+                            overlap_host=False)
+    probe = Engine(copy.deepcopy(params), CFG, probe_cfg)
+    preqs = [probe.submit(p, max_new_tokens=b)
+             for p, b in zip(prompts, budgets)]
+    probe.run()
+    eos = None
+    for r in preqs:
+        for i, t in enumerate(r.output):
+            if i >= 1:  # mid-chunk: not the prefill token
+                eos = int(t)
+                break
+        if eos is not None:
+            break
+    assert eos is not None
+
+    def run(overlap):
+        # pool barely larger than 2 active slots' worth: a retirement's
+        # pages are needed by the next admission almost immediately
+        scfg = ServeConfig(max_slots=2, page_size=8, num_pages=8,
+                           max_pages_per_slot=3, decode_chunk=4,
+                           overlap_host=overlap, eos_id=eos)
+        eng = Engine(copy.deepcopy(params), CFG, scfg)
+        reqs = [eng.submit(p, max_new_tokens=b)
+                for p, b in zip(prompts, budgets)]
+        eng.run()
+        assert eng.pt.num_free == scfg.num_pages - 1  # all pages returned
+        return [r.output for r in reqs]
+
+    with_overlap = run(True)
+    assert with_overlap == run(False)
+    # the EOS really truncated some request mid-stream
+    assert any(out and out[-1] == eos and len(out) < b
+               for out, b in zip(with_overlap, budgets))
 
 
 def test_kv_int4_roundtrip():

@@ -129,6 +129,42 @@ PyObject* PageAlloc_free_slot(PageAllocObject* self, PyObject* arg) {
   Py_RETURN_NONE;
 }
 
+// detach_slot(slot): clear the slot's mapping WITHOUT returning pages to
+// the free list — used when an in-flight speculative decode chunk may
+// still write to them.  Returns the detached pages as a tuple; the
+// caller releases them via release_pages() once the chunk completes.
+PyObject* PageAlloc_detach_slot(PageAllocObject* self, PyObject* arg) {
+  long slot = PyLong_AsLong(arg);
+  if (slot == -1 && PyErr_Occurred()) return nullptr;
+  int32_t* row = self->table->data() + (size_t)slot * self->max_pages_per_slot;
+  int n = 0;
+  while (n < self->max_pages_per_slot && row[n] >= 0) ++n;
+  PyObject* out = PyTuple_New(n);
+  for (int i = 0; i < n; ++i) {
+    PyTuple_SET_ITEM(out, i, PyLong_FromLong(row[i]));
+    row[i] = -1;
+  }
+  (*self->lens)[slot] = 0;
+  return out;
+}
+
+// release_pages(pages): return previously-detached pages to the free list
+PyObject* PageAlloc_release_pages(PageAllocObject* self, PyObject* arg) {
+  PyObject* seq = PySequence_Fast(arg, "release_pages expects a sequence");
+  if (!seq) return nullptr;
+  Py_ssize_t n = PySequence_Fast_GET_SIZE(seq);
+  for (Py_ssize_t i = 0; i < n; ++i) {
+    long p = PyLong_AsLong(PySequence_Fast_GET_ITEM(seq, i));
+    if (p == -1 && PyErr_Occurred()) {
+      Py_DECREF(seq);
+      return nullptr;
+    }
+    self->free_list->push_back((int32_t)p);
+  }
+  Py_DECREF(seq);
+  Py_RETURN_NONE;
+}
+
 // fill_tables(table_buf, lens_buf): write the device-bound arrays into
 // caller-provided contiguous int32 buffers (negative entries clamp to 0)
 PyObject* PageAlloc_fill_tables(PageAllocObject* self, PyObject* args) {
@@ -178,6 +214,8 @@ PyMethodDef PageAlloc_methods[] = {
     {"alloc_slot", (PyCFunction)PageAlloc_alloc_slot, METH_VARARGS, nullptr},
     {"extend", (PyCFunction)PageAlloc_extend, METH_VARARGS, nullptr},
     {"free_slot", (PyCFunction)PageAlloc_free_slot, METH_O, nullptr},
+    {"detach_slot", (PyCFunction)PageAlloc_detach_slot, METH_O, nullptr},
+    {"release_pages", (PyCFunction)PageAlloc_release_pages, METH_O, nullptr},
     {"fill_tables", (PyCFunction)PageAlloc_fill_tables, METH_VARARGS, nullptr},
     {"get_len", (PyCFunction)PageAlloc_get_len, METH_O, nullptr},
     {"num_free", (PyCFunction)PageAlloc_num_free, METH_NOARGS, nullptr},

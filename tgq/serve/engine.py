@@ -52,8 +52,25 @@ class ServeConfig:
     # dispatch decode chunk N+1 from the on-device token carry before
     # fetching chunk N's tokens: the device runs continuously while the
     # host processes results (token-identical; a slot that finishes
-    # mid-pipeline just discards its speculative chunk)
+    # mid-pipeline — EOS or budget — just discards its speculative
+    # tokens, and its pages are held back from the free pool until the
+    # in-flight chunk's device work has completed)
     overlap_host: bool = True
+
+
+@dataclasses.dataclass
+class _Chunk:
+    """An in-flight decode chunk: device token block + the slot↔request
+    binding at dispatch time.  ``deferred`` collects pages of slots
+    retired while this chunk was still executing — the chunk's
+    dispatch-time page table maps to them, so they only return to the
+    free pool after the chunk's outputs are fetched (a real device
+    sync), in :meth:`Engine._collect`."""
+
+    toks: object                      # (n, slots) int32 device array
+    group: list                       # [(slot, Request), ...]
+    n: int
+    deferred: list = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -129,9 +146,11 @@ class Engine:
         self.tokens_emitted = 0
         self.decode_wall_s = 0.0   # time in decode dispatch + token D2H
         self.prefill_wall_s = 0.0  # time in prefill dispatch + sampling
-        # in-flight decode chunk: (toks device array (n, slots),
-        # [(slot, Request), ...], n) — see _decode_tick
-        self._pending = None
+        # in-flight decode chunks (_Chunk): _pending awaits collection;
+        # _spec is the speculative successor during the collect of
+        # _pending (visible to _retire so it can defer page frees)
+        self._pending: Optional[_Chunk] = None
+        self._spec: Optional[_Chunk] = None
 
     # ------------------------------------------------------------- API
 
@@ -233,7 +252,18 @@ class Engine:
         req = self.slots[s]
         req.done = True
         req.finish_t = time.time()
-        self.pt.free_slot(s)
+        # if an in-flight chunk's dispatch-time table maps this slot's
+        # pages, they must not re-enter the free pool until that chunk's
+        # device work completes — detach now, release at its collect
+        holder = None
+        for chunk in (self._spec, self._pending):
+            if chunk is not None and any(cs == s for cs, _ in chunk.group):
+                holder = chunk
+                break  # newest in-flight chunk outlives the older one
+        if holder is not None:
+            holder.deferred.extend(self.pt.detach_slot(s))
+        else:
+            self.pt.free_slot(s)
         self.slots[s] = None
 
     def _chunk_steps(self, active: list[int], lens0: np.ndarray) -> int:
@@ -257,11 +287,11 @@ class Engine:
             n //= 2
         return 1 << (n.bit_length() - 1)
 
-    def _dispatch(self, tokens, active: list[int]) -> tuple:
+    def _dispatch(self, tokens, active: list[int]) -> _Chunk:
         """Dispatch one decode chunk (async).  ``tokens``: (slots,)
         int32, host or device (the speculative path feeds the previous
         chunk's on-device carry directly — no D2H on the critical path).
-        Returns the pending record (toks_dev, [(slot, req)], n)."""
+        Returns the in-flight :class:`_Chunk`."""
         lens0 = np.asarray(self.pt.lens, np.int32)
         n = self._chunk_steps(active, lens0)
         for s in active:
@@ -281,41 +311,40 @@ class Engine:
             self.attn_impl, mesh=self.mesh,
         )
         self.steps += n
-        return toks, [(s, self.slots[s]) for s in active], n
+        return _Chunk(toks, [(s, self.slots[s]) for s in active], n)
 
-    def _can_speculate(self, pending) -> bool:
+    def _can_speculate(self, pending: _Chunk) -> bool:
         """Safe to dispatch chunk N+1 before reading chunk N's tokens:
-        nothing queued (admissions should interleave), and no slot can
-        finish inside chunk N (EOS can still surprise — a finished
-        slot's speculative tokens are discarded at collect)."""
+        nothing queued (admissions should interleave) and page capacity
+        for one more chunk.  A slot that finishes inside chunk N — EOS
+        or budget — discards its speculative tokens at collect, and its
+        pages stay out of the free pool until the speculative chunk's
+        device work completes (``_retire`` defers them), so EOS no
+        longer disables pipelining."""
         if not self.scfg.overlap_host or self.queue:
             return False
-        _, group, n = pending
-        if self.scfg.eos_id is not None:
-            return False  # any token may end a request mid-chunk
         cap = self.scfg.max_pages_per_slot * self.scfg.page_size
-        for s, req in group:
+        for s, req in pending.group:
             if self.slots[s] is not req:
                 return False
-            if len(req.output) + n >= req.max_new_tokens:
+            if len(req.output) + pending.n >= req.max_new_tokens:
                 return False  # finishes during the pending chunk
             if int(self.pt.lens[s]) + 1 > cap:
                 return False
         return True
 
-    def _collect(self, pending) -> list[Request]:
+    def _collect(self, chunk: _Chunk) -> list[Request]:
         """Fetch a dispatched chunk's tokens and fold them into requests.
         Slots whose request was retired (or replaced) since dispatch
         discard their tokens — they were speculative garbage."""
-        toks_dev, group, n = pending
         t0 = time.time()
-        toks = np.asarray(toks_dev)  # (n, slots) — blocks on the chunk
+        toks = np.asarray(chunk.toks)  # (n, slots) — blocks on the chunk
         self.decode_wall_s += time.time() - t0
         finished = []
-        for s, req in group:
+        for s, req in chunk.group:
             if self.slots[s] is not req:
                 continue
-            for i in range(n):
+            for i in range(chunk.n):
                 tok = int(toks[i, s])
                 req.output.append(tok)
                 self.tokens_emitted += 1
@@ -325,6 +354,11 @@ class Engine:
                     self._retire(s)
                     finished.append(req)
                     break
+        # the token fetch above is a real device sync: every KV write of
+        # this chunk has landed, so pages deferred to it are safe to reuse
+        if chunk.deferred:
+            self.pt.release_pages(chunk.deferred)
+            chunk.deferred = []
         return finished
 
     def _decode_tick(self) -> list[Request]:
@@ -340,14 +374,13 @@ class Engine:
             self.decode_wall_s += time.time() - t0
 
         pending = self._pending
-        spec = None
         if self._can_speculate(pending):
             # chunk N+1 from chunk N's on-device final tokens — the
             # device stays busy while the host fetches/processes N
-            toks_dev, group, _ = pending
             t0 = time.time()
-            spec = self._dispatch(toks_dev[-1], [s for s, _ in group])
+            self._spec = self._dispatch(pending.toks[-1],
+                                        [s for s, _ in pending.group])
             self.decode_wall_s += time.time() - t0
-        out = self._collect(pending)
-        self._pending = spec
+        out = self._collect(pending)  # retires may defer pages to _spec
+        self._pending, self._spec = self._spec, None
         return out

@@ -135,6 +135,26 @@ class PageTable:
                 self._table[slot][i] = -1
         self._lens[slot] = 0
 
+    def detach_slot(self, slot: int) -> tuple[int, ...]:
+        """Clear a slot's mapping WITHOUT returning its pages to the
+        free pool — for retiring a slot while an in-flight speculative
+        decode chunk may still write to those pages.  The caller hands
+        the returned pages to :meth:`release_pages` once the chunk's
+        device work has provably completed (its outputs fetched)."""
+        if self._native is not None:
+            return self._native.detach_slot(slot)
+        pages = tuple(p for p in self._table[slot] if p >= 0)
+        self._table[slot] = [-1] * self.max_pages_per_slot
+        self._lens[slot] = 0
+        return pages
+
+    def release_pages(self, pages) -> None:
+        """Return detached pages to the free pool."""
+        if self._native is not None:
+            self._native.release_pages(tuple(int(p) for p in pages))
+            return
+        self._free.extend(int(p) for p in pages)
+
     def slot_pages(self, slot: int) -> tuple[int, ...]:
         if self._native is not None:
             return self._native.slot_pages(slot)
