@@ -86,3 +86,64 @@ def test_roundtrip_forward(tmp_path):
     out = forward(params2, cfg2, ids, attn_impl="naive")
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_hf_export_quantized_roundtrip(tmp_path):
+    """export_hf writes a dequantized-bf16 HF checkpoint from a
+    quantized (fake-quant) tree that load_hf_checkpoint re-imports with
+    matching logits (reference quantize.py:262-275 parity)."""
+    from tgq.calib.data import get_loaders
+    from tgq.calib.pipeline import QuantizeConfig, quantize_model
+    from tgq.models.hf_export import export_hf
+
+    params = init_params(CFG, jax.random.key(0))
+    ids = get_loaders("synthetic", None, 4, 64, seed=42,
+                      vocab_size=CFG.vocab_size)
+    qcfg = QuantizeConfig(mode="pchol", w_bits=4, group_size=-1,
+                          batch_size=2, eps=1e-7, attn_impl="naive")
+    params, packed, _ = quantize_model(params, CFG, ids, qcfg)
+
+    path = str(tmp_path / "hf_export")
+    export_hf(path, params, CFG, tokenizer=None)
+    assert os.path.exists(os.path.join(path, "model.safetensors"))
+    hf_cfg = json.load(open(os.path.join(path, "config.json")))
+    assert hf_cfg["model_type"] == "qwen3"
+    assert hf_cfg["num_hidden_layers"] == CFG.num_layers
+
+    params2, cfg2 = load_hf_checkpoint(path)
+    toks = jnp.asarray([[1, 5, 9, 200, 3]])
+    ref = forward(params, CFG, toks, attn_impl="naive")
+    out = forward(params2, cfg2, toks, attn_impl="naive")
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_hf_export_packed_dequant(tmp_path):
+    """PackedLinear leaves export as dequantized dense weights (bias
+    preserved) — a packed serving tree is exportable directly."""
+    from tgq.core.packing import PackedLinear
+    from tgq.core.quant import QuantSpec, expand_params, find_params, quantize
+    from tgq.models.hf_export import export_hf
+    from tgq.models.causal_lm import get_nested, set_nested
+
+    cfg = PRESETS["tiny-qwen2"]  # qkv biases
+    params = init_params(cfg, jax.random.key(1))
+    spec = QuantSpec(bits=4, group_size=-1, sym=False)
+    lp = params["model"]["layers"][0]
+    entry = get_nested(lp, "self_attn.q_proj")
+    w = entry["w"].astype(jnp.float32)
+    p = find_params(w, spec)
+    s, z = expand_params(p, w.shape[1])
+    q = quantize(w, s, z, spec).astype(jnp.int32)
+    pl = PackedLinear.from_codes(q, p.scale, p.zero, spec,
+                                 bias=entry.get("b"))
+    set_nested(lp, "self_attn.q_proj", pl)
+
+    path = str(tmp_path / "hf_packed")
+    export_hf(path, params, cfg, tokenizer=None)
+    params2, cfg2 = load_hf_checkpoint(path)
+    w2 = np.asarray(params2["model"]["layers"][0]["self_attn"]["q_proj"]["w"],
+                    dtype=np.float32)
+    np.testing.assert_allclose(w2, np.asarray(pl.dequantize(), np.float32),
+                               rtol=2e-2, atol=2e-2)  # bf16 storage
+    assert "b" in params2["model"]["layers"][0]["self_attn"]["q_proj"]

@@ -75,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Directory for checkpoint and logs")
     o.add_argument("--no_save", action="store_true",
                    help="Skip saving model weights")
+    o.add_argument("--hf_export", action="store_true",
+                   help="Also write a dequantized-bf16 HF checkpoint "
+                        "(safetensors + config.json + tokenizer) under "
+                        "<save_path>/hf — loadable by transformers/vLLM "
+                        "(reference quantize.py:262-275 parity)")
     return p
 
 

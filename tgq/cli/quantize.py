@@ -111,6 +111,12 @@ def main(argv=None) -> int:
             log.info("Saving packed checkpoint to %s", args.save_path)
             save_quantized(args.save_path, params, packed, cfg,
                            dataclasses.asdict(qcfg))
+        if args.hf_export:
+            from tgq.models.hf_export import export_hf
+
+            hf_dir = os.path.join(args.save_path, "hf")
+            log.info("Exporting HF-format checkpoint to %s", hf_dir)
+            export_hf(hf_dir, params, cfg, tokenizer=tokenizer)
 
     total = time.time() - t0
     log.info("Total processing time: %.2f minutes", total / 60)
