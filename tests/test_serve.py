@@ -10,6 +10,13 @@ from tgq.serve import Engine, PagedKVCache, PageTable, Request, ServeConfig
 
 CFG = PRESETS["tiny-qwen3"]
 
+# 1-layer geometry for raw cache-format tests (kvh=2, d=16)
+from tgq.models.config import ModelConfig  # noqa: E402
+
+CFG_KVQ = ModelConfig(name="kvq-test", vocab_size=8, hidden_size=256,
+                      intermediate_size=8, num_layers=1, num_heads=2,
+                      num_kv_heads=2, head_dim=128)
+
 
 @pytest.fixture(scope="module")
 def params():
@@ -464,6 +471,62 @@ def test_kv_int4_roundtrip():
     got_v = np.asarray(vg[0, :seq])
     relv = np.linalg.norm(got_v - np.asarray(v_new)) / np.linalg.norm(v_new)
     assert relv < 0.12, relv
+
+
+def test_kv_equalizers_identity_and_gain():
+    """eq=ones is bit-identical to no-eq storage; a true channel profile
+    cuts gather reconstruction error on channel-outlier data."""
+    from tgq.serve.kv_cache import PagedKVCache, kv_gather, kv_write_pages
+
+    rng = np.random.default_rng(7)
+    kvh, d, page, n_pages = 2, 128, 8, 4
+    fused = kvh * d
+    amp = np.exp(rng.normal(0, 1.0, fused)).astype(np.float32)
+    amp[rng.choice(fused, 4, replace=False)] *= 8.0  # hard outlier channels
+    k_new = jnp.asarray((rng.standard_normal((n_pages * page, fused))
+                         * amp).reshape(-1, kvh, d), jnp.float32)
+    v_new = k_new[::-1]
+    pages = jnp.arange(1, n_pages + 1)
+
+    def gather_err(**kw):
+        cache = PagedKVCache.init(CFG_KVQ, n_pages + 1, page, kv_bits=8, **kw)
+        cache = kv_write_pages(cache, 0, pages, k_new, v_new)
+        kg, _ = kv_gather(cache, 0, pages[None], dtype=jnp.float32)
+        got = np.asarray(kg[0])
+        want = np.asarray(k_new)
+        return got, np.linalg.norm(got - want) / np.linalg.norm(want)
+
+    ones = np.ones((1, fused), np.float32)
+    got_none, err_none = gather_err()
+    got_ones, err_ones = gather_err(k_eq=ones, v_eq=ones)
+    np.testing.assert_array_equal(got_none, got_ones)  # exact identity
+
+    eq = (amp.reshape(kvh, d) / amp.reshape(kvh, d).mean(-1, keepdims=True)
+          ).reshape(1, fused)
+    _, err_eq = gather_err(k_eq=eq, v_eq=eq)
+    assert err_eq < err_none * 0.5, (err_eq, err_none)
+
+
+def test_kv_equalizer_serving_matches_greedy(params):
+    """int8 KV + estimated equalizers on the tiny model still decodes
+    greedy-identically (quantization margins dwarf the model's gaps),
+    through prefill, chunked decode, and the deferred write path."""
+    from tgq.serve.kv_calibrate import estimate_kv_equalizers
+
+    calib = jnp.asarray([[5, 17, 42, 100, 7, 9, 3, 1] * 4])
+    k_eq, v_eq = estimate_kv_equalizers(params, CFG, calib,
+                                        attn_impl="naive")
+    assert k_eq.shape == (CFG.num_layers, CFG.num_kv_heads * CFG.head_dim)
+    assert np.all(k_eq > 0) and np.all(v_eq > 0)
+
+    scfg = ServeConfig(max_slots=2, page_size=8, num_pages=32,
+                       max_pages_per_slot=8, max_new_tokens=6, kv_bits=8,
+                       kv_k_eq=k_eq, kv_v_eq=v_eq, decode_chunk=4)
+    eng = Engine(params, CFG, scfg)
+    prompt = [5, 17, 42]
+    req = eng.submit(prompt)
+    eng.run()
+    assert req.output == greedy_reference(params, prompt, 6)
 
 
 def test_kv4_serving_runs_and_tracks_greedy(params):

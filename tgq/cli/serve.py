@@ -140,6 +140,10 @@ def main(argv=None) -> int:
     ap.add_argument("--kv_bits", type=int, default=16, choices=(16, 8, 4),
                     help="KV cache storage: bf16, int8+scales, or "
                          "nibble-packed int4+scales")
+    ap.add_argument("--kv_equalize", action="store_true",
+                    help="calibrate static per-channel KV equalizers on a "
+                         "short synthetic batch before serving (quantized "
+                         "KV only; see tgq.serve.kv_calibrate)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--profile_dir", default=None,
                     help="write a jax.profiler trace here")
@@ -168,6 +172,16 @@ def main(argv=None) -> int:
         mesh = make_mesh(data=args.mesh_data, model=args.mesh_model)
 
     params, cfg = load_or_make_model(args)
+    k_eq = v_eq = None
+    if args.kv_equalize and args.kv_bits < 16:
+        from tgq.serve.kv_calibrate import estimate_kv_equalizers
+
+        rng0 = np.random.default_rng(args.seed + 1)
+        calib = rng0.integers(0, cfg.vocab_size, size=(1, 256))
+        t0 = time.time()
+        k_eq, v_eq = estimate_kv_equalizers(params, cfg, calib)
+        logging.info("[kv-eq] calibrated per-channel equalizers in %.1fs",
+                     time.time() - t0)
     max_pages_per_slot = -(-(args.prompt_len + args.gen_tokens + args.page_size)
                            // args.page_size)
     if not args.num_pages:
@@ -180,6 +194,7 @@ def main(argv=None) -> int:
         num_pages=args.num_pages, max_pages_per_slot=max_pages_per_slot,
         max_new_tokens=args.gen_tokens, temperature=args.temperature,
         seed=args.seed, decode_chunk=args.decode_chunk, kv_bits=args.kv_bits,
+        kv_k_eq=k_eq, kv_v_eq=v_eq,
     )
     eng = Engine(params, cfg, scfg, mesh=mesh)
 

@@ -82,6 +82,10 @@ def perplexity_from_token_stream(
 
     total_nll = 0.0
     total_tokens = 0
+    n_batches = -(-len(requests) // batch_size)
+    # running-PPL liveness, reference eval_utils.py:70,101-103: report
+    # every ~10% of batches (and the first, where compile time lands)
+    report_every = max(1, n_batches // 10)
     for i in range(0, len(requests), batch_size):
         batch = requests[i : i + batch_size]
         inp = np.full((batch_size, max_length), pad_token_id, np.int32)
@@ -96,6 +100,10 @@ def perplexity_from_token_stream(
                                 attn_impl=attn_impl)
         total_nll += float(nll)
         total_tokens += int(count)
+        b = i // batch_size + 1
+        if total_tokens and (b % report_every == 0 or b == n_batches):
+            logger.info("[eval] batch %d/%d running PPL: %.4f",
+                        b, n_batches, float(np.exp(total_nll / total_tokens)))
     if total_tokens == 0:
         return float("inf")
     return float(np.exp(total_nll / total_tokens))

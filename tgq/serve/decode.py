@@ -174,15 +174,33 @@ def _decode_layer(lp, li, cfg: ModelConfig, x, cache: PagedKVCache,
 
         # deferred pool writes: the kernel folds the current token in
         # from registers; the caller scatters all layers' rows at once
-        # (kv_write_token_all) after the layer scan
+        # (kv_write_token_all, which applies the channel equalizers)
         kv_rows = (k.reshape(slots, -1).astype(jnp.float32),
                    v.reshape(slots, -1).astype(jnp.float32))
         scale = 1.0 / jnp.sqrt(jnp.float32(cfg.head_dim))
+        qs = (q * scale).astype(jnp.float32)
+        k_cur, v_cur = kv_rows
+        rep = cfg.num_heads // cfg.num_kv_heads
+        if cache.k_eq is not None:
+            # stored rows are K/eq ⇒ fold eq into the query:
+            # (q·eq)·K_stored == q·K; current-token rows divide to match
+            ek = cache.k_eq[li]
+            qs = (qs.reshape(slots, cfg.num_kv_heads, rep, cfg.head_dim)
+                  * ek.reshape(cfg.num_kv_heads, 1, cfg.head_dim)
+                  ).reshape(slots, cfg.num_heads, cfg.head_dim)
+            k_cur = k_cur / ek
+        if cache.v_eq is not None:
+            v_cur = v_cur / cache.v_eq[li]
         attn = paged_decode_attention(
-            (q * scale).astype(jnp.float32), cache.k, cache.v,
+            qs, cache.k, cache.v,
             cache.ks, cache.vs, li, lens, table,
-            kv_rows[0], kv_rows[1],
+            k_cur, v_cur,
             num_kv_heads=cfg.num_kv_heads)
+        if cache.v_eq is not None:
+            # stored rows are V/eq ⇒ the weighted sum scales back per channel
+            attn = (attn.reshape(slots, cfg.num_kv_heads, rep, cfg.head_dim)
+                    * cache.v_eq[li].reshape(cfg.num_kv_heads, 1, cfg.head_dim)
+                    ).reshape(slots, cfg.num_heads, cfg.head_dim)
     else:
         cache = kv_write_token(cache, li, pages, offsets, k, v)
         attn = _gather_attention(cfg, q, cache, li, table, lens)

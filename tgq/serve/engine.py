@@ -49,6 +49,12 @@ class ServeConfig:
     # KV storage: 16 = bf16, 8 = int8 with per-token-per-head scales
     # (halves decode-attention traffic, doubles cache capacity)
     kv_bits: int = 16
+    # optional static per-channel equalizers for quantized KV, each
+    # (layers, kv_heads·head_dim): rows store K/k_eq, V/v_eq so channel
+    # outliers stop consuming the per-token dynamic range (see
+    # tgq.serve.kv_cache + tgq.serve.kv_calibrate.estimate_kv_equalizers)
+    kv_k_eq: Optional[object] = None
+    kv_v_eq: Optional[object] = None
     # dispatch decode chunk N+1 from the on-device token carry before
     # fetching chunk N's tokens: the device runs continuously while the
     # host processes results (token-identical; a slot that finishes
@@ -107,7 +113,8 @@ class Engine:
                 params = fuse_packed_projections(params)
             params = stack_layer_params(params)
         cache = PagedKVCache.init(cfg, scfg.num_pages, scfg.page_size,
-                                  kv_bits=scfg.kv_bits)
+                                  kv_bits=scfg.kv_bits,
+                                  k_eq=scfg.kv_k_eq, v_eq=scfg.kv_v_eq)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -123,12 +130,17 @@ class Engine:
             # the head dim directly
             kv_sh = NamedSharding(mesh, P(None, None, None, "model"))
             s_sh = NamedSharding(mesh, P(None, None, "model", None))
+            eq_sh = NamedSharding(mesh, P(None, "model"))
             self.cache = _dc.replace(
                 cache,
                 k=jax.device_put(cache.k, kv_sh),
                 v=jax.device_put(cache.v, kv_sh),
                 ks=None if cache.ks is None else jax.device_put(cache.ks, s_sh),
                 vs=None if cache.vs is None else jax.device_put(cache.vs, s_sh),
+                k_eq=(None if cache.k_eq is None
+                      else jax.device_put(cache.k_eq, eq_sh)),
+                v_eq=(None if cache.v_eq is None
+                      else jax.device_put(cache.v_eq, eq_sh)),
             )
         else:
             self.params = params

@@ -193,6 +193,15 @@ class PagedKVCache:
     v: jax.Array
     ks: Optional[jax.Array] = None
     vs: Optional[jax.Array] = None
+    # static per-channel equalizers (layers, kv_heads·head_dim) f32:
+    # quantized writes store K/k_eq and V/v_eq with per-token absmax
+    # scales on the *equalized* rows, reads multiply back.  Channel-wise
+    # outliers (V especially — KIVI/KVQuant observation) stop consuming
+    # the per-token dynamic range.  Exact identity when None/ones.
+    # Kernel-path algebra: K-eq folds into the query ((q·eq)·K_q) and
+    # V-eq into the attention output — zero extra kernel work.
+    k_eq: Optional[jax.Array] = None
+    v_eq: Optional[jax.Array] = None
     # required (kw-only): a silently-defaulted value mis-derives
     # head_dim/fused_dim for any cache built outside .init()
     num_kv_heads: int = dataclasses.field(
@@ -207,7 +216,8 @@ class PagedKVCache:
 
     @classmethod
     def init(cls, cfg: ModelConfig, num_pages: int, page_size: int,
-             dtype=jnp.bfloat16, kv_bits: int = 16) -> "PagedKVCache":
+             dtype=jnp.bfloat16, kv_bits: int = 16,
+             k_eq=None, v_eq=None) -> "PagedKVCache":
         fused = cfg.num_kv_heads * cfg.head_dim
         shape = (cfg.num_layers, num_pages, page_size, fused)
         if kv_bits in (8, 4):
@@ -216,10 +226,14 @@ class PagedKVCache:
             if kv_bits == 4:
                 shape = shape[:-1] + (fused // 2,)
             dt = jnp.int8 if kv_bits == 8 else jnp.uint8
+            eq = lambda e: (None if e is None  # noqa: E731
+                            else jnp.asarray(e, jnp.float32).reshape(
+                                cfg.num_layers, fused))
             return cls(k=jnp.zeros(shape, dt),
                        v=jnp.zeros(shape, dt),
                        ks=jnp.zeros(sshape, jnp.float32),
                        vs=jnp.zeros(sshape, jnp.float32),
+                       k_eq=eq(k_eq), v_eq=eq(v_eq),
                        num_kv_heads=cfg.num_kv_heads)
         assert kv_bits == 16, kv_bits
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
@@ -278,6 +292,22 @@ def kv_unpack4(w: jax.Array, dtype=jnp.float32) -> jax.Array:
         [(wi & 0xF) - 8, ((wi >> 4) & 0xF) - 8], axis=-1).astype(dtype)
 
 
+def _eq_div(x: jax.Array, eq: Optional[jax.Array], layer) -> jax.Array:
+    """Divide (..., kvh, d) rows by layer ``layer``'s channel equalizer."""
+    if eq is None:
+        return x
+    kvh, d = x.shape[-2:]
+    return x / eq[layer].reshape(kvh, d)
+
+
+def _eq_div_all(x: jax.Array, eq: Optional[jax.Array]) -> jax.Array:
+    """Divide (L, slots, kvh, d) rows by every layer's equalizer."""
+    if eq is None:
+        return x
+    L, _, kvh, d = x.shape
+    return x / eq.reshape(L, 1, kvh, d)
+
+
 def _pad_scales(s: jax.Array, spad: int) -> jax.Array:
     """(..., page) → (..., spad) zero-padded."""
     if s.shape[-1] == spad:
@@ -305,8 +335,8 @@ def kv_write_token(cache: PagedKVCache, layer, pages: jax.Array,
             v=cache.v.at[layer, pages, offsets].set(vf.astype(cache.v.dtype)),
         )
     quant = _absmax_quantize4 if cache.kv_bits == 4 else _absmax_quantize
-    qk, sk = quant(k_new)   # (slots, fused[/2] or kvh,d), (slots, kvh)
-    qv, sv = quant(v_new)
+    qk, sk = quant(_eq_div(k_new, cache.k_eq, layer))
+    qv, sv = quant(_eq_div(v_new, cache.v_eq, layer))
     return dataclasses.replace(
         cache,
         k=cache.k.at[layer, pages, offsets].set(qk.reshape(slots, -1)),
@@ -336,8 +366,8 @@ def kv_write_token_all(cache: PagedKVCache, pages: jax.Array,
             v=cache.v.at[:, pages, offsets].set(vf.astype(cache.v.dtype)),
         )
     quant = _absmax_quantize4 if cache.kv_bits == 4 else _absmax_quantize
-    qk, sk = quant(k_all)              # codes, (L, slots, kvh)
-    qv, sv = quant(v_all)
+    qk, sk = quant(_eq_div_all(k_all, cache.k_eq))  # codes, (L, slots, kvh)
+    qv, sv = quant(_eq_div_all(v_all, cache.v_eq))
     # ks (L, P, kvh, spad): the slice between the two advanced indices
     # moves the broadcast (slots) dim to the front — transpose to match
     return dataclasses.replace(
@@ -373,8 +403,8 @@ def kv_write_pages(cache: PagedKVCache, layer, slot_pages: jax.Array,
                 tile(vf).astype(cache.v.dtype)),
         )
     quant = _absmax_quantize4 if cache.kv_bits == 4 else _absmax_quantize
-    qk, sk = quant(k_new)              # codes, ([b,] seq, kvh)
-    qv, sv = quant(v_new)
+    qk, sk = quant(_eq_div(k_new, cache.k_eq, layer))  # ([b,] seq, kvh)
+    qv, sv = quant(_eq_div(v_new, cache.v_eq, layer))
     spad = cache.ks.shape[-1]
 
     def tile_s(s):  # ([b,] seq, kvh) → ([b,] n_pages, kvh, spad)
@@ -424,4 +454,8 @@ def kv_gather(cache: PagedKVCache, layer, table: jax.Array,
             slots, mpps * page, kvh)[..., None].astype(dtype)
         kg = kg * sk
         vg = vg * sv
+        if cache.k_eq is not None:
+            kg = kg * cache.k_eq[layer].reshape(kvh, d).astype(dtype)
+        if cache.v_eq is not None:
+            vg = vg * cache.v_eq[layer].reshape(kvh, d).astype(dtype)
     return kg, vg
