@@ -42,6 +42,37 @@ def init_distributed(
                 jax.local_device_count(), jax.device_count())
 
 
+def build_device_grid(devices, local: int,
+                      model: Optional[int] = None) -> np.ndarray:
+    """(data, model) device grid with the model axis intra-host.
+
+    ``devices`` are grouped by process explicitly (sorted by
+    (process_index, id) — never rely on jax.devices() ordering), then
+    reshaped so each model row is a contiguous run of one host's chips
+    (TP rides ICI).  model ≤ local needs local % model == 0; model >
+    local (TP spanning hosts, the 70B fallback) needs model % local ==
+    0 and keeps whole hosts per row.
+    """
+    devices = sorted(
+        devices,
+        key=lambda d: (getattr(d, "process_index", 0), getattr(d, "id", 0)),
+    )
+    n = len(devices)
+    model = model if model is not None else local
+    assert n % model == 0, (n, model)
+    if model <= local:
+        assert local % model == 0, (
+            f"model={model} must divide local={local} so no TP group "
+            f"straddles hosts")
+    else:
+        assert model % local == 0, (
+            f"model={model} must be a multiple of local={local} so TP "
+            f"groups hold whole hosts")
+        logger.warning("[mesh] TP degree %d spans %d hosts — the block "
+                       "psum crosses DCN", model, model // local)
+    return np.asarray(devices, dtype=object).reshape(n // model, model)
+
+
 def global_mesh(model_per_host: Optional[int] = None) -> Mesh:
     """("data", "model") mesh over all hosts.
 
@@ -49,10 +80,6 @@ def global_mesh(model_per_host: Optional[int] = None) -> Mesh:
     inside a host/slice → ICI); the data axis spans hosts (DCN-tolerant
     all-reduce of Gram matrices / batch shards).
     """
-    devices = np.asarray(jax.devices())
-    n = devices.size
-    local = jax.local_device_count()
-    model = model_per_host if model_per_host is not None else local
-    assert n % model == 0, (n, model)
-    grid = devices.reshape(n // model, model)
+    grid = build_device_grid(jax.devices(), jax.local_device_count(),
+                             model_per_host)
     return Mesh(grid, ("data", "model"))
