@@ -88,8 +88,9 @@ class QuantizeConfig:
 
 
 def get_adaptive_eps(layer_name: str, base_eps: float) -> float:
-    """ε×0.1 for the sensitive projections (reference quantize.py:17-20)."""
-    if any(x in layer_name for x in ("down_proj", "o_proj")):
+    """ε×0.1 for the sensitive projections (reference quantize.py:17-20).
+    gpt2 analog: both output projections are named c_proj."""
+    if any(x in layer_name for x in ("down_proj", "o_proj", "c_proj")):
         return base_eps * 0.1
     return base_eps
 
@@ -107,9 +108,9 @@ def _group_input(lp, cfg: ModelConfig, gi: int, x, cos, sin, attn_impl="auto"):
     attn = attn_core(lp, cfg, h, cos, sin, attn_impl=attn_impl)
     if gi == 1:
         return attn
-    from tgq.models.causal_lm import apply_linear
+    from tgq.models.causal_lm import attn_out_proj
 
-    x2 = x + apply_linear(lp["self_attn"]["o_proj"], attn)
+    x2 = x + attn_out_proj(lp, cfg, attn)
     h2 = mlp_input(lp, cfg, x2)
     if gi == 2:
         return h2
@@ -142,9 +143,9 @@ def _stage_resid(lp, cfg: ModelConfig, x, attn):
     """x2: post-attention residual (with group-1-quantized o_proj).
     Only x2 is staged — h2 = mlp_input(x2) is one RMS norm, recomputed
     on demand; storing it too OOMed a 16 GB v5e at 8B shapes."""
-    from tgq.models.causal_lm import apply_linear
+    from tgq.models.causal_lm import attn_out_proj
 
-    return x + apply_linear(lp["self_attn"]["o_proj"], attn)
+    return x + attn_out_proj(lp, cfg, attn)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -163,9 +164,9 @@ def _stage_act(lp, cfg: ModelConfig, x2):
 def _stage_out(lp, cfg: ModelConfig, x2):
     """Quantized-layer output from the staged residual — recomputes only
     the MLP with the fully quantized weights."""
-    from tgq.models.causal_lm import apply_linear
+    from tgq.models.causal_lm import mlp_out_proj
 
-    return x2 + apply_linear(lp["mlp"]["down_proj"],
+    return x2 + mlp_out_proj(lp, cfg,
                              mlp_act(lp, cfg, mlp_input(lp, cfg, x2)))
 
 
@@ -326,10 +327,16 @@ def spectral_consistency_check(
     bs = qcfg.batch_size
     cos, sin = rope_cache(cfg, seq_len)
     groups = sequenced_groups(cfg)
-    emb = jax.jit(lambda w, ids: w[ids].astype(jnp.bfloat16))
-    embed_w = jax.device_put(params["model"]["embed_tokens"]["weight"])
+    from tgq.models.causal_lm import embed_tokens as _embed
+
+    emb_params = {"model": {
+        k: jax.device_put(params["model"][k])
+        for k in (("embed_tokens", "wpe") if cfg.family == "gpt2"
+                  else ("embed_tokens",))
+    }}
+    emb = jax.jit(lambda p, ids: _embed(p, ids, cfg=cfg))
     inps = jnp.concatenate([
-        emb(embed_w, jnp.asarray(input_ids[j : j + bs]))
+        emb(emb_params, jnp.asarray(input_ids[j : j + bs]))
         for j in range(0, n_samples, bs)
     ])
     records = []
@@ -546,20 +553,26 @@ def quantize_model(
     else:
         batch_shard = repl = None
         put_layer = jax.device_put
-    embed_w = jax.device_put(params["model"]["embed_tokens"]["weight"],
-                             repl) if repl else jax.device_put(
-        params["model"]["embed_tokens"]["weight"])
+    put_repl = (lambda w: jax.device_put(w, repl)) if repl else jax.device_put
+    embed_w = put_repl(params["model"]["embed_tokens"]["weight"])
+    if cfg.family == "gpt2":  # learned position embeddings
+        wpe_w = put_repl(params["model"]["wpe"]["weight"])
+        emb = jax.jit(lambda w, wpe, ids: (
+            w[ids] + wpe[: ids.shape[1]][None]).astype(jnp.bfloat16))
+        emb_args = lambda ids: (embed_w, wpe_w, ids)  # noqa: E731
+    else:
+        emb = jax.jit(lambda w, ids: w[ids].astype(jnp.bfloat16))
+        emb_args = lambda ids: (embed_w, ids)  # noqa: E731
     batches = []
-    emb = jax.jit(lambda w, ids: w[ids].astype(jnp.bfloat16))
     for j in range(0, n_samples, bs):
         ids = jnp.asarray(input_ids[j : j + bs])
         if batch_shard is not None:
             ids = jax.device_put(ids, batch_shard)
-        batches.append(emb(embed_w, ids))
+        batches.append(emb(*emb_args(ids)))
     inps = jnp.concatenate(batches, axis=0)
     if batch_shard is not None:
         inps = jax.device_put(inps, batch_shard)
-    del embed_w, batches
+    del embed_w, emb_args, batches
     logger.info("[calib] captured %d sequences of %d tokens", n_samples, seq_len)
 
     n_layers = len(params["model"]["layers"])

@@ -116,7 +116,10 @@ def main(argv=None) -> int:
 
             hf_dir = os.path.join(args.save_path, "hf")
             log.info("Exporting HF-format checkpoint to %s", hf_dir)
-            export_hf(hf_dir, params, cfg, tokenizer=tokenizer)
+            try:
+                export_hf(hf_dir, params, cfg, tokenizer=tokenizer)
+            except NotImplementedError as e:
+                log.warning("HF export skipped: %s", e)
 
     total = time.time() - t0
     log.info("Total processing time: %.2f minutes", total / 60)

@@ -162,15 +162,23 @@ def causal_attention(q, k, v, impl: str = "auto"):
 
 
 def attn_input(lp: Params, cfg: ModelConfig, x: jax.Array) -> jax.Array:
-    """Input to q/k/v_proj (quantization group 1)."""
+    """Input to quantization group 0 (q/k/v_proj; gpt2: c_attn)."""
+    if cfg.family == "gpt2":
+        from tgq.models.gpt2 import gpt2_attn_input
+
+        return gpt2_attn_input(lp, cfg, x)
     return rms_norm(x, lp["input_layernorm"]["weight"], cfg.rms_norm_eps)
 
 
 def attn_core(
     lp: Params, cfg: ModelConfig, h: jax.Array, cos, sin, attn_impl: str = "auto"
 ) -> jax.Array:
-    """q/k/v through attention; returns the o_proj input (group 2),
-    shape (batch, seq, q_size)."""
+    """q/k/v through attention; returns the group-1 input (o_proj /
+    gpt2 attn.c_proj), shape (batch, seq, q_size)."""
+    if cfg.family == "gpt2":
+        from tgq.models.gpt2 import gpt2_attn_core
+
+        return gpt2_attn_core(lp, cfg, h, attn_impl=attn_impl)
     b, s, _ = h.shape
     q = apply_linear(lp["self_attn"]["q_proj"], h)
     k = apply_linear(lp["self_attn"]["k_proj"], h)
@@ -188,15 +196,41 @@ def attn_core(
 
 
 def mlp_input(lp: Params, cfg: ModelConfig, x2: jax.Array) -> jax.Array:
-    """Input to gate/up_proj (group 3)."""
+    """Input to quantization group 2 (gate/up_proj; gpt2: c_fc)."""
+    if cfg.family == "gpt2":
+        from tgq.models.gpt2 import gpt2_mlp_input
+
+        return gpt2_mlp_input(lp, cfg, x2)
     return rms_norm(x2, lp["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
 
 
 def mlp_act(lp: Params, cfg: ModelConfig, h: jax.Array) -> jax.Array:
-    """silu(gate)·up — the down_proj input (group 4)."""
+    """Group-3 input: silu(gate)·up (gpt2: gelu(c_fc h))."""
+    if cfg.family == "gpt2":
+        from tgq.models.gpt2 import gpt2_mlp_act
+
+        return gpt2_mlp_act(lp, cfg, h)
     gate = apply_linear(lp["mlp"]["gate_proj"], h)
     up = apply_linear(lp["mlp"]["up_proj"], h)
     return jax.nn.silu(gate) * up
+
+
+def attn_out_proj(lp: Params, cfg: ModelConfig, attn: jax.Array) -> jax.Array:
+    """Apply the attention output projection (o_proj / gpt2 c_proj)."""
+    if cfg.family == "gpt2":
+        from tgq.models.gpt2 import gpt2_attn_out
+
+        return gpt2_attn_out(lp, cfg, attn)
+    return apply_linear(lp["self_attn"]["o_proj"], attn)
+
+
+def mlp_out_proj(lp: Params, cfg: ModelConfig, act: jax.Array) -> jax.Array:
+    """Apply the MLP output projection (down_proj / gpt2 mlp.c_proj)."""
+    if cfg.family == "gpt2":
+        from tgq.models.gpt2 import gpt2_mlp_out
+
+        return gpt2_mlp_out(lp, cfg, act)
+    return apply_linear(lp["mlp"]["down_proj"], act)
 
 
 def decoder_layer(
@@ -210,20 +244,29 @@ def decoder_layer(
     """One pre-norm decoder block; x: (batch, seq, hidden)."""
     h = attn_input(lp, cfg, x)
     attn = attn_core(lp, cfg, h, cos, sin, attn_impl=attn_impl)
-    x = x + apply_linear(lp["self_attn"]["o_proj"], attn)
+    x = x + attn_out_proj(lp, cfg, attn)
     h2 = mlp_input(lp, cfg, x)
-    x = x + apply_linear(lp["mlp"]["down_proj"], mlp_act(lp, cfg, h2))
+    x = x + mlp_out_proj(lp, cfg, mlp_act(lp, cfg, h2))
     return x
 
 
 # -------------------------------------------------------------- full model
 
 
-def embed_tokens(params: Params, input_ids: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+def embed_tokens(params: Params, input_ids: jax.Array, dtype=jnp.bfloat16,
+                 cfg: Optional[ModelConfig] = None) -> jax.Array:
+    if cfg is not None and cfg.family == "gpt2":
+        from tgq.models.gpt2 import gpt2_embed
+
+        return gpt2_embed(params, input_ids, dtype)
     return params["model"]["embed_tokens"]["weight"][input_ids].astype(dtype)
 
 
 def apply_final_norm(params: Params, cfg: ModelConfig, x: jax.Array) -> jax.Array:
+    if cfg.family == "gpt2":
+        from tgq.models.gpt2 import gpt2_final_norm
+
+        return gpt2_final_norm(params, cfg, x)
     return rms_norm(x, params["model"]["norm"]["weight"], cfg.rms_norm_eps)
 
 
@@ -256,7 +299,7 @@ def forward(
     attn_impl: str = "auto",
 ) -> jax.Array:
     """Full forward, returns (batch, seq, vocab) f32 logits."""
-    x = embed_tokens(params, input_ids)
+    x = embed_tokens(params, input_ids, cfg=cfg)
     cos, sin = rope_cache(cfg, input_ids.shape[1])
     for lp in params["model"]["layers"]:
         x = decoder_layer(lp, cfg, x, cos, sin, attn_impl=attn_impl)
@@ -269,6 +312,10 @@ def forward(
 
 def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.bfloat16) -> Params:
     """Random init with standard LLM scaling (for tests / synthetic runs)."""
+    if cfg.family == "gpt2":
+        from tgq.models.gpt2 import init_gpt2_params
+
+        return init_gpt2_params(cfg, key, dtype)
     keys = iter(jax.random.split(key, 16 + cfg.num_layers * 16))
 
     def dense(out_f, in_f, scale=None):
@@ -329,6 +376,10 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.bfloat16) -> Params:
 def sequenced_groups(cfg: ModelConfig) -> list[list[str]]:
     """Quantization order within a decoder layer — 4 sequential groups that
     share one input Hessian each (reference model_utils.py:77-108)."""
+    if cfg.family == "gpt2":
+        from tgq.models.gpt2 import gpt2_sequenced_groups
+
+        return gpt2_sequenced_groups(cfg)
     return [
         ["self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"],
         ["self_attn.o_proj"],

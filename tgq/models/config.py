@@ -27,6 +27,13 @@ class ModelConfig:
     tie_word_embeddings: bool = False
     max_position_embeddings: int = 40960
     seqlen: int = 2048            # calibration/eval window (reference default)
+    # "llama" covers the RMSNorm+SiLU+rope decoders (Qwen3/Qwen2.5/
+    # Llama-3, differentiated by the flags above); "gpt2" is the
+    # structurally different transformer.h layout: LayerNorm with bias,
+    # fused QKV (attn.c_attn), GELU MLP, learned position embeddings
+    # (reference model_utils.py:54-74 adapts this family via
+    # model.transformer.h)
+    family: str = "llama"
 
     @property
     def q_size(self) -> int:
@@ -76,6 +83,20 @@ QWEN25_7B = _register(ModelConfig(
     head_dim=128, rope_theta=1e6, qk_norm=False, attention_bias=True,
 ))
 
+# GPT-2 family (transformer.h layout; intermediate = 4·hidden, ctx 1024)
+GPT2 = _register(ModelConfig(
+    name="gpt2", vocab_size=50257, hidden_size=768, intermediate_size=3072,
+    num_layers=12, num_heads=12, num_kv_heads=12, head_dim=64,
+    rms_norm_eps=1e-5, qk_norm=False, tie_word_embeddings=True,
+    max_position_embeddings=1024, seqlen=1024, family="gpt2",
+))
+GPT2_XL = _register(ModelConfig(
+    name="gpt2-xl", vocab_size=50257, hidden_size=1600,
+    intermediate_size=6400, num_layers=48, num_heads=25, num_kv_heads=25,
+    head_dim=64, rms_norm_eps=1e-5, qk_norm=False, tie_word_embeddings=True,
+    max_position_embeddings=1024, seqlen=1024, family="gpt2",
+))
+
 # tiny variants for hermetic tests (structure-identical to their parents)
 TINY_QWEN3 = _register(ModelConfig(
     name="tiny-qwen3", vocab_size=512, hidden_size=64,
@@ -92,4 +113,11 @@ TINY_QWEN2 = _register(ModelConfig(
     intermediate_size=128, num_layers=2, num_heads=4, num_kv_heads=2,
     head_dim=16, rope_theta=1e4, qk_norm=False, attention_bias=True,
     seqlen=128,
+))
+TINY_GPT2 = _register(ModelConfig(
+    name="tiny-gpt2", vocab_size=512, hidden_size=64,
+    intermediate_size=256, num_layers=2, num_heads=4, num_kv_heads=4,
+    head_dim=16, rms_norm_eps=1e-5, qk_norm=False,
+    tie_word_embeddings=True, max_position_embeddings=256, seqlen=128,
+    family="gpt2",
 ))

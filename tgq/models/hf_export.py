@@ -108,6 +108,11 @@ def export_hf(path: str, params, cfg: ModelConfig, tokenizer=None,
     import ml_dtypes
     from safetensors.numpy import save_file
 
+    if cfg.family == "gpt2":
+        raise NotImplementedError(
+            "HF export of the gpt2 family (Conv1D re-transpose + "
+            "transformer.h renames) is not implemented; use the packed "
+            "checkpoint (tgq.core.checkpoint)")
     if dtype is None:
         dtype = ml_dtypes.bfloat16
     os.makedirs(path, exist_ok=True)

@@ -23,6 +23,21 @@ logger = logging.getLogger(__name__)
 
 def config_from_hf(hf_cfg: dict) -> ModelConfig:
     model_type = hf_cfg.get("model_type", "")
+    if model_type == "gpt2":
+        # transformer.h layout: n_* config names, Conv1D weights
+        h = hf_cfg["n_embd"]
+        return ModelConfig(
+            name=hf_cfg.get("_name_or_path") or "gpt2",
+            vocab_size=hf_cfg["vocab_size"], hidden_size=h,
+            intermediate_size=hf_cfg.get("n_inner") or 4 * h,
+            num_layers=hf_cfg["n_layer"], num_heads=hf_cfg["n_head"],
+            num_kv_heads=hf_cfg["n_head"], head_dim=h // hf_cfg["n_head"],
+            rms_norm_eps=hf_cfg.get("layer_norm_epsilon", 1e-5),
+            qk_norm=False, tie_word_embeddings=True,
+            max_position_embeddings=hf_cfg.get("n_positions", 1024),
+            seqlen=min(2048, hf_cfg.get("n_positions", 1024)),
+            family="gpt2",
+        )
     qk_norm = model_type == "qwen3"
     head_dim = hf_cfg.get("head_dim") or (
         hf_cfg["hidden_size"] // hf_cfg["num_attention_heads"]
@@ -62,6 +77,41 @@ def _iter_safetensor_shards(path: str):
                 yield key, f.get_tensor(key)
 
 
+def _map_gpt2_tensor(key: str, tensor, dtype):
+    """HF GPT-2 name → tgq tree (tgq.models.gpt2 layout docstring).
+
+    transformer.wte → model.embed_tokens, wpe → model.wpe, h.N →
+    model.layers.N, ln_f → model.norm.  HF Conv1D stores (in, out) —
+    linear weights transpose to the (out, in) ``w`` convention; the
+    causal-mask buffers (attn.bias/attn.masked_bias) are dropped.
+    Returns (dotted_name, array) or None to skip."""
+    if key.endswith(("attn.bias", "attn.masked_bias")):
+        return None
+    name = key
+    if name.startswith("transformer."):
+        name = name[len("transformer."):]
+    if name.startswith("wte."):
+        name = "model.embed_tokens." + name[len("wte."):]
+    elif name.startswith("wpe."):
+        name = "model.wpe." + name[len("wpe."):]
+    elif name.startswith("ln_f."):
+        name = "model.norm." + name[len("ln_f."):]
+    elif name.startswith("h."):
+        name = "model.layers." + name[len("h."):]
+    elif name.startswith("lm_head."):
+        return None  # tied to wte
+    arr = np.asarray(tensor)
+    if arr.dtype.kind == "f":
+        arr = arr.astype(dtype)
+    parts = name.split(".")
+    if len(parts) >= 2 and parts[-2] in ("c_attn", "c_proj", "c_fc"):
+        if parts[-1] == "weight":
+            return name.rsplit(".", 1)[0] + ".w", np.ascontiguousarray(arr.T)
+        if parts[-1] == "bias":
+            return name.rsplit(".", 1)[0] + ".b", arr
+    return name, arr
+
+
 def load_hf_checkpoint(path: str, dtype=None):
     """(params, ModelConfig) from a local HF checkpoint directory."""
     import ml_dtypes
@@ -86,6 +136,12 @@ def load_hf_checkpoint(path: str, dtype=None):
 
     n_tensors = 0
     for key, tensor in _iter_safetensor_shards(path):
+        if cfg.family == "gpt2":
+            mapped = _map_gpt2_tensor(key, tensor, dtype)
+            if mapped is not None:
+                put(*mapped)
+                n_tensors += 1
+            continue
         arr = np.asarray(tensor)
         if arr.dtype.kind == "f":
             arr = arr.astype(dtype)

@@ -100,6 +100,9 @@ class Engine:
         axis, so the same engine serves single-chip or a whole slice.
         ``stack_layers``: scan-friendly stacked layer params (one traced
         decode layer regardless of depth)."""
+        assert cfg.family != "gpt2", (
+            "the serving engine implements the rope/GQA decode path; "
+            "gpt2-family models are supported for quantization/eval only")
         self.cfg = cfg
         self.scfg = scfg
         self.mesh = mesh
