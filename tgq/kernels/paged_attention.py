@@ -325,7 +325,7 @@ def paged_decode_attention(
     kv_buf = pltpu.VMEM((2, ppb * page_size, fused_stored), k_pages.dtype)
     scale_buf = (pltpu.VMEM((2, ppb, num_kv_heads, spad), jnp.float32)
                  if quantized else None)
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
 
     out = pl.pallas_call(
         functools.partial(
