@@ -325,3 +325,28 @@ def test_full_decode_step_kernel_matches_gather():
     pre_k, toks_k = run("kernel")
     np.testing.assert_array_equal(pre_g, pre_k)
     np.testing.assert_array_equal(toks_g[:, 0], toks_k[:, 0])
+
+
+def test_engine_kernel_attn_matches_gather_end_to_end():
+    """Whole Engine lifecycle (admission prefill, chunked decode,
+    speculative pipelining, retirement) with attn_impl='kernel' under
+    simulated TPU == the gather engine token-for-token."""
+    import copy
+
+    from tgq.models import PRESETS, init_params
+    from tgq.serve import Engine, ServeConfig
+
+    cfg = PRESETS["tiny-qwen3"]
+    params = init_params(cfg, jax.random.key(0))
+    prompts = [[5, 17, 42], [7, 9, 3, 1, 4]]
+
+    def run(attn_impl):
+        scfg = ServeConfig(max_slots=2, page_size=8, num_pages=32,
+                           max_pages_per_slot=4, max_new_tokens=6,
+                           decode_chunk=4, kv_bits=8, attn_impl=attn_impl)
+        eng = Engine(copy.deepcopy(params), cfg, scfg)
+        reqs = [eng.submit(p) for p in prompts]
+        eng.run()
+        return [r.output for r in reqs]
+
+    assert run("kernel") == run("gather")

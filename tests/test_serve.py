@@ -541,3 +541,25 @@ def test_kv4_serving_runs_and_tracks_greedy(params):
     eng.run()
     assert len(req.output) == 5
     assert req.output == greedy_reference(params, prompt, 5)
+
+
+def test_checkpoint_kv_equalizer_roundtrip(tmp_path, params):
+    """save_quantized(kv_equalizers=...) -> load_quantized returns the
+    profiles bit-exactly, and a plain checkpoint returns none."""
+    from tgq.core.checkpoint import load_quantized, save_quantized
+
+    k_eq = np.random.default_rng(1).random(
+        (CFG.num_layers, CFG.num_kv_heads * CFG.head_dim)).astype(np.float32)
+    v_eq = k_eq * 2.0
+    path = str(tmp_path / "ck")
+    save_quantized(path, params, {}, CFG, {"w_bits": 4},
+                   kv_equalizers=(k_eq, v_eq))
+    _, _, qconf = load_quantized(path)
+    got_k, got_v = qconf["kv_equalizers"]
+    np.testing.assert_array_equal(got_k, k_eq)
+    np.testing.assert_array_equal(got_v, v_eq)
+
+    path2 = str(tmp_path / "ck2")
+    save_quantized(path2, params, {}, CFG, {"w_bits": 4})
+    _, _, qconf2 = load_quantized(path2)
+    assert "kv_equalizers" not in qconf2

@@ -75,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Directory for checkpoint and logs")
     o.add_argument("--no_save", action="store_true",
                    help="Skip saving model weights")
+    o.add_argument("--kv_equalize", action="store_true",
+                   help="Calibrate per-channel KV equalizers on the "
+                        "calibration set and store them in the packed "
+                        "checkpoint (tgq-serve uses them for quantized "
+                        "KV caches; see tgq.serve.kv_calibrate)")
     o.add_argument("--hf_export", action="store_true",
                    help="Also write a dequantized-bf16 HF checkpoint "
                         "(safetensors + config.json + tokenizer) under "

@@ -107,10 +107,19 @@ def main(argv=None) -> int:
         experiment_log["layer_stats"] = run_log["layer_stats"]
         experiment_log["metrics"].update(run_log["metrics"])
 
+        kv_eq = None
+        if args.kv_equalize:
+            from tgq.serve.kv_calibrate import estimate_kv_equalizers
+
+            log.info("Calibrating per-channel KV equalizers "
+                     "(tgq.serve.kv_calibrate)")
+            kv_eq = estimate_kv_equalizers(
+                params, cfg, input_ids[: min(4, len(input_ids))],
+                attn_impl=args.attn_impl)
         if not args.no_save:
             log.info("Saving packed checkpoint to %s", args.save_path)
             save_quantized(args.save_path, params, packed, cfg,
-                           dataclasses.asdict(qcfg))
+                           dataclasses.asdict(qcfg), kv_equalizers=kv_eq)
         if args.hf_export:
             from tgq.models.hf_export import export_hf
 

@@ -26,9 +26,9 @@ def load_or_make_model(args):
     if args.checkpoint:
         from tgq.core.checkpoint import load_quantized
 
-        params, cfg, _ = load_quantized(args.checkpoint)
+        params, cfg, qconf = load_quantized(args.checkpoint)
         _maybe_pack_head(params, args, jnp)
-        return params, cfg
+        return params, cfg, qconf.get("kv_equalizers")
 
     from tgq.models.config import PRESETS
 
@@ -43,7 +43,7 @@ def load_or_make_model(args):
         spec = QuantSpec(bits=args.w_bits, group_size=args.group_size,
                          sym=False)
         return init_packed_params(
-            cfg, spec, seed=0, lm_head_bits=args.lm_head_bits), cfg
+            cfg, spec, seed=0, lm_head_bits=args.lm_head_bits), cfg, None
 
     # stage params host-side when a CPU backend is available so a large
     # model never materializes dense on the accelerator
@@ -85,7 +85,7 @@ def load_or_make_model(args):
     if "lm_head" in params:
         if not _maybe_pack_head(params, args, jnp):
             params["lm_head"] = jax.device_put(params["lm_head"])
-    return params, cfg
+    return params, cfg, None
 
 
 def _maybe_pack_head(params, args, jnp) -> bool:
@@ -171,9 +171,13 @@ def main(argv=None) -> int:
 
         mesh = make_mesh(data=args.mesh_data, model=args.mesh_model)
 
-    params, cfg = load_or_make_model(args)
+    params, cfg, ckpt_eq = load_or_make_model(args)
     k_eq = v_eq = None
-    if args.kv_equalize and args.kv_bits < 16:
+    if ckpt_eq is not None and args.kv_bits < 16:
+        k_eq, v_eq = ckpt_eq
+        logging.info("[kv-eq] using checkpoint-stored per-channel "
+                     "equalizers")
+    elif args.kv_equalize and args.kv_bits < 16:
         from tgq.serve.kv_calibrate import estimate_kv_equalizers
 
         rng0 = np.random.default_rng(args.seed + 1)

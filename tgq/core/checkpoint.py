@@ -50,15 +50,23 @@ def save_quantized(
     packed: dict[str, PackedLinear],
     cfg: ModelConfig,
     qconfig: dict | None = None,
+    kv_equalizers: tuple | None = None,
 ) -> None:
     """Write a packed checkpoint directory: weights.npz + config.json.
 
     ``params`` supplies the non-quantized leaves (embed, norms, and any
     linear without a packed entry); packed entries override the dense
-    weights of their layer paths.
+    weights of their layer paths.  ``kv_equalizers``: optional
+    (k_eq, v_eq) per-channel KV profiles (tgq.serve.kv_calibrate) stored
+    under reserved ``__kv_eq__`` names — tgq-serve picks them up
+    automatically for quantized KV caches.
     """
     os.makedirs(path, exist_ok=True)
     flat = {}
+    if kv_equalizers is not None:
+        k_eq, v_eq = kv_equalizers
+        flat["__kv_eq__k"] = np.asarray(k_eq, np.float32)
+        flat["__kv_eq__v"] = np.asarray(v_eq, np.float32)
     # non-quantized parts of the tree (skip dense weights that are packed)
     dense = _flatten(params)
     packed_prefixes = {f"model.{k}" for k in packed}
@@ -88,7 +96,11 @@ def load_quantized(path: str):
     # regroup packed tensors
     packed_groups: dict[str, dict[str, np.ndarray]] = {}
     plain: dict[str, np.ndarray] = {}
+    kv_eq: dict[str, np.ndarray] = {}
     for name, arr in data.items():
+        if name.startswith("__kv_eq__"):
+            kv_eq[name[len("__kv_eq__"):]] = arr
+            continue
         if name.startswith("__bf16__"):
             import ml_dtypes
 
@@ -148,4 +160,7 @@ def load_quantized(path: str):
             bias=parts.get("bias"),
         )
         insert(tree, base, pl)
-    return tree, cfg, meta.get("quant_config", {})
+    qconf = dict(meta.get("quant_config", {}))
+    if kv_eq:
+        qconf["kv_equalizers"] = (kv_eq["k"], kv_eq["v"])
+    return tree, cfg, qconf

@@ -55,6 +55,8 @@ class ServeConfig:
     # tgq.serve.kv_cache + tgq.serve.kv_calibrate.estimate_kv_equalizers)
     kv_k_eq: Optional[object] = None
     kv_v_eq: Optional[object] = None
+    # decode attention backend: "auto" | "kernel" | "gather"
+    attn_impl: str = "auto"
     # dispatch decode chunk N+1 from the on-device token carry before
     # fetching chunk N's tokens: the device runs continuously while the
     # host processes results (token-identical; a slot that finishes
@@ -150,7 +152,10 @@ class Engine:
             self.cache = cache
         from tgq.serve.decode import default_attn_impl
 
-        self.attn_impl = default_attn_impl(mesh)
+        # "auto" (default): fused kernel on single-device TPU, gather
+        # elsewhere; override for experiments / interpret-mode testing
+        self.attn_impl = (scfg.attn_impl if scfg.attn_impl != "auto"
+                          else default_attn_impl(mesh))
         self.pt = PageTable(scfg.num_pages, scfg.page_size, scfg.max_slots,
                             scfg.max_pages_per_slot)
         self.slots: list[Optional[Request]] = [None] * scfg.max_slots
