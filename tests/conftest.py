@@ -25,6 +25,14 @@ import jax  # noqa: E402
 if os.environ.get("TGQ_TEST_TPU") != "1":
     jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: TPU-gated runs pay tens of seconds per
+# program compile over the remote-chip tunnel; caching makes a full
+# TGQ_TEST_TPU=1 pass of the kernel suite rerunnable inside a normal
+# shell timeout.  Harmless (and still a speedup) on the CPU backend.
+from tgq.utils.jax_setup import setup_jax  # noqa: E402
+
+setup_jax()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

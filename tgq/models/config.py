@@ -103,6 +103,15 @@ TINY_QWEN3 = _register(ModelConfig(
     intermediate_size=128, num_layers=2, num_heads=4, num_kv_heads=2,
     head_dim=16, rope_theta=1e4, tie_word_embeddings=True, seqlen=128,
 ))
+# Like tiny-qwen3 but with a 128-lane-aligned fused KV dim
+# (num_kv_heads*head_dim = 128) so the fused paged-attention kernel's
+# page DMA is Mosaic-legal on real TPU hardware — the composed-path
+# kernel tests use this one; real models are always aligned.
+TINY_QWEN3_KV128 = _register(ModelConfig(
+    name="tiny-qwen3-kv128", vocab_size=512, hidden_size=64,
+    intermediate_size=128, num_layers=2, num_heads=4, num_kv_heads=2,
+    head_dim=64, rope_theta=1e4, tie_word_embeddings=True, seqlen=128,
+))
 TINY_LLAMA = _register(ModelConfig(
     name="tiny-llama", vocab_size=512, hidden_size=64,
     intermediate_size=128, num_layers=2, num_heads=4, num_kv_heads=2,

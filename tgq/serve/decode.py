@@ -110,12 +110,19 @@ def _slice_layer(tree, li):
     return rec(tree)
 
 
-def default_attn_impl(mesh=None) -> str:
+def default_attn_impl(mesh=None, cfg=None) -> str:
     """Fused kernel on single-device TPU; XLA gather path elsewhere
-    (CPU, or TP meshes where a custom call cannot be auto-partitioned)."""
-    if jax.default_backend() == "tpu" and mesh is None:
-        return "kernel"
-    return "gather"
+    (CPU, or TP meshes where a custom call cannot be auto-partitioned).
+
+    The kernel DMAs whole KV-pool pages as (page_size, kv_heads*head_dim)
+    blocks, so the fused dim must be a multiple of the 128-lane tile or
+    Mosaic rejects the memref slice — real models are (768..1024), but
+    shrunken test configs may not be; those fall back to gather."""
+    if jax.default_backend() != "tpu" or mesh is not None:
+        return "gather"
+    if cfg is not None and (cfg.num_kv_heads * cfg.head_dim) % 128 != 0:
+        return "gather"
+    return "kernel"
 
 
 def _rope_at(cos_tab, sin_tab, pos, x):

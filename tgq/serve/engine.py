@@ -155,7 +155,7 @@ class Engine:
         # "auto" (default): fused kernel on single-device TPU, gather
         # elsewhere; override for experiments / interpret-mode testing
         self.attn_impl = (scfg.attn_impl if scfg.attn_impl != "auto"
-                          else default_attn_impl(mesh))
+                          else default_attn_impl(mesh, cfg))
         self.pt = PageTable(scfg.num_pages, scfg.page_size, scfg.max_slots,
                             scfg.max_pages_per_slot)
         self.slots: list[Optional[Request]] = [None] * scfg.max_slots
