@@ -12,11 +12,18 @@ layers on one A100-40G with the same calibration set → 42.6 s/layer
 (BASELINE.md; benchmark_results/Trunc_W4_Asym/results.json, and its
 quantization.log shows layer 1 at 44 s wall).
 
-Prints ONE JSON line:
+Prints TWO JSON lines:
   {"metric": "qwen3_8b_layer_quantize_seconds", "value": <s>,
    "unit": "s", "vs_baseline": <42.6 / value>}  (>1 = faster than ref)
+  {"metric": "qwen3_8b_decode_tok_s", "value": <tok/s>, ...}
+    — a short fixed-config serving run (random-init packed qwen3-8b,
+    64 slots, prompt 128 / gen 128, INT8 KV, INT8 vocab head) through
+    the real continuous-batching engine (tgq.cli.serve.run).  The
+    reference publishes no serving numbers (BASELINE.md), so
+    vs_baseline is null; the value externally verifies RESULTS.md's
+    serving table.
 
-Always emits a parseable JSON line, even on TPU backend-init failure
+Always emits parseable JSON lines, even on TPU backend-init failure
 (status field carries the error); one retry on backend unavailability.
 """
 import argparse
@@ -79,13 +86,73 @@ def main() -> None:
     ap.add_argument("--sync_phases", action="store_true",
                     help="fence the device after every phase for honest "
                          "per-phase attribution (serializes the pipeline)")
+    ap.add_argument("--no_serve", action="store_true",
+                    help="skip the serving benchmark line")
+    ap.add_argument("--no_quantize", action="store_true",
+                    help="skip the layer-quantization benchmark line")
     args = ap.parse_args()
 
     jax, backend = _init_backend()
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    on_tpu = backend == "tpu"
 
+    if not args.no_quantize:
+        _quantize_bench(args, jax, jnp, backend, on_tpu)
+    if not args.no_serve:
+        try:
+            _serve_bench(on_tpu)
+        except Exception as e:
+            import traceback
+
+            traceback.print_exc()
+            print(json.dumps({
+                "metric": "qwen3_8b_decode_tok_s",
+                "value": None, "unit": "tok/s", "vs_baseline": None,
+                "status": f"serve-bench-failed: {type(e).__name__}: {e}",
+            }))
+
+
+def _serve_bench(on_tpu: bool) -> None:
+    """Fixed-config serving benchmark (VERDICT r2 directive #2): the
+    real continuous-batching engine on a random-init packed model,
+    decode-only tok/s as the metric.  CPU fallback smoke-tests the tiny
+    preset so the line is always parseable."""
+    from tgq.cli import serve as serve_cli
+
+    if on_tpu:
+        argv = ["--model_id", "qwen3-8b", "--w_bits", "4",
+                "--lm_head_bits", "8", "--kv_bits", "8",
+                "--max_slots", "64", "--prompt_len", "128",
+                "--gen_tokens", "128", "--n_requests", "128",
+                "--decode_chunk", "16"]
+    else:
+        argv = ["--model_id", "tiny-qwen3", "--w_bits", "8",
+                "--group_size", "32", "--kv_bits", "8", "--max_slots", "4",
+                "--prompt_len", "16", "--gen_tokens", "16",
+                "--n_requests", "8", "--decode_chunk", "4"]
+    print(f"[bench] serving benchmark ({'qwen3-8b' if on_tpu else 'tiny'})"
+          " ...", file=sys.stderr)
+    res = serve_cli.run(serve_cli.build_parser().parse_args(argv))
+    out = {
+        "metric": "qwen3_8b_decode_tok_s",
+        "value": res["decode_only_tok_s"],
+        "unit": "tok/s",
+        # the reference publishes no serving/throughput numbers
+        # (BASELINE.md); this line externally verifies RESULTS.md
+        "vs_baseline": None,
+        "overall_tok_s": res["value"],
+        "ttft_p50_s": res["ttft_p50_s"],
+        "config": res["config"],
+    }
+    if not on_tpu:
+        out["status"] = ("backend=cpu: smoke-test on tiny-qwen3; "
+                         "not comparable")
+    print(json.dumps(out))
+
+
+def _quantize_bench(args, jax, jnp, backend, on_tpu) -> None:
     from tgq.calib.pipeline import QuantizeConfig, quantize_layer
     from tgq.models import PRESETS, init_params, rope_cache
     from tgq.models.causal_lm import sequenced_groups

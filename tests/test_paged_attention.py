@@ -363,3 +363,68 @@ def test_engine_kernel_attn_matches_gather_end_to_end():
         assert run("kernel") == kernel_out
     else:
         assert run("gather") == kernel_out
+
+
+def _tp_case(int8: bool):
+    """Small-geometry TP case (interpret mode simulates the kernel once
+    per shard, so these stay deliberately tiny): 2 layers, 6 pages of 8
+    tokens, 3 slots, 4 kv heads x 32 features, GQA group 2."""
+    l, p, pg, kvh, d = 2, 8, 8, 4, 32
+    b, h, mpps = 3, 8, 2
+    fused = kvh * d
+    rng = np.random.default_rng(7)
+    q = rng.standard_normal((b, h, d)).astype(np.float32) * 0.3
+    lens = np.array([5, 0, 14], np.int32)
+    table = rng.permutation(p - 1)[: b * mpps].reshape(b, mpps).astype(
+        np.int32) + 1
+    kcur = (rng.standard_normal((b, fused)) * 0.5).astype(np.float32)
+    vcur = (rng.standard_normal((b, fused)) * 0.5).astype(np.float32)
+    from tgq.serve.kv_cache import PagedKVCache
+
+    if int8:
+        ki8 = rng.integers(-127, 128, (l, p, pg, fused)).astype(np.int8)
+        vi8 = rng.integers(-127, 128, (l, p, pg, fused)).astype(np.int8)
+        spad = 128
+        ks = np.zeros((l, p, kvh, spad), np.float32)
+        vs = np.zeros((l, p, kvh, spad), np.float32)
+        ks[..., :pg] = rng.random((l, p, kvh, pg)) * 0.02 + 0.001
+        vs[..., :pg] = rng.random((l, p, kvh, pg)) * 0.02 + 0.001
+        cache = PagedKVCache(
+            k=jnp.asarray(ki8), v=jnp.asarray(vi8),
+            ks=jnp.asarray(ks), vs=jnp.asarray(vs), num_kv_heads=kvh)
+    else:
+        kf = (rng.standard_normal((l, p, pg, fused)) * 0.5).astype(np.float32)
+        vf = (rng.standard_normal((l, p, pg, fused)) * 0.5).astype(np.float32)
+        cache = PagedKVCache(
+            k=jnp.asarray(kf, jnp.bfloat16),
+            v=jnp.asarray(vf, jnp.bfloat16), num_kv_heads=kvh)
+    return kvh, q, lens, table, kcur, vcur, cache
+
+
+@pytest.mark.parametrize("int8", [False, True])
+def test_kernel_tp_sharded_matches_single_device(int8):
+    """_kernel_attention_tp (shard_map over the model axis, kernel per
+    shard on its kv-head slice) == the single-device kernel on the same
+    global pools.  8 CPU devices, ("data", "model") = (4, 2); int8 also
+    checks the per-token-per-head scales shard on the kv-head dim."""
+    from tgq.parallel import make_mesh
+    from tgq.serve.decode import _kernel_attention_tp
+    from tgq.kernels.paged_attention import paged_decode_attention
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(data=4, devices=devs[:8])  # model axis = 2
+
+    kvh, q, lens, table, kcur, vcur, cache = _tp_case(int8)
+    li = 1
+    want = np.asarray(paged_decode_attention(
+        jnp.asarray(q), cache.k, cache.v, cache.ks, cache.vs,
+        jnp.int32(li), jnp.asarray(lens), jnp.asarray(table),
+        jnp.asarray(kcur), jnp.asarray(vcur),
+        num_kv_heads=kvh), np.float32)
+    got = np.asarray(_kernel_attention_tp(
+        kvh, jnp.asarray(q), cache, jnp.int32(li), jnp.asarray(lens),
+        jnp.asarray(table), jnp.asarray(kcur), jnp.asarray(vcur),
+        mesh), np.float32)
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)

@@ -89,8 +89,10 @@ class QuantizeConfig:
 
 def get_adaptive_eps(layer_name: str, base_eps: float) -> float:
     """ε×0.1 for the sensitive projections (reference quantize.py:17-20).
-    gpt2 analog: both output projections are named c_proj."""
-    if any(x in layer_name for x in ("down_proj", "o_proj", "c_proj")):
+    gpt2 analog: both output projections are named c_proj; opt analog:
+    out_proj and fc2."""
+    if any(x in layer_name for x in
+           ("down_proj", "o_proj", "c_proj", "out_proj", "fc2")):
         return base_eps * 0.1
     return base_eps
 
@@ -331,7 +333,7 @@ def spectral_consistency_check(
 
     emb_params = {"model": {
         k: jax.device_put(params["model"][k])
-        for k in (("embed_tokens", "wpe") if cfg.family == "gpt2"
+        for k in (("embed_tokens", "wpe") if cfg.family in ("gpt2", "opt")
                   else ("embed_tokens",))
     }}
     emb = jax.jit(lambda p, ids: _embed(p, ids, cfg=cfg))
@@ -555,10 +557,13 @@ def quantize_model(
         put_layer = jax.device_put
     put_repl = (lambda w: jax.device_put(w, repl)) if repl else jax.device_put
     embed_w = put_repl(params["model"]["embed_tokens"]["weight"])
-    if cfg.family == "gpt2":  # learned position embeddings
+    if cfg.family in ("gpt2", "opt"):  # learned position embeddings
+        from tgq.models.opt import _POS_OFFSET
+
+        off = _POS_OFFSET if cfg.family == "opt" else 0
         wpe_w = put_repl(params["model"]["wpe"]["weight"])
         emb = jax.jit(lambda w, wpe, ids: (
-            w[ids] + wpe[: ids.shape[1]][None]).astype(jnp.bfloat16))
+            w[ids] + wpe[off:off + ids.shape[1]][None]).astype(jnp.bfloat16))
         emb_args = lambda ids: (embed_w, wpe_w, ids)  # noqa: E731
     else:
         emb = jax.jit(lambda w, ids: w[ids].astype(jnp.bfloat16))

@@ -110,10 +110,7 @@ def _maybe_pack_head(params, args, jnp) -> bool:
     return True
 
 
-def main(argv=None) -> int:
-    from tgq.utils.jax_setup import setup_jax
-
-    setup_jax()
+def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", default=None,
                     help="packed checkpoint dir (tgq.core.checkpoint)")
@@ -154,9 +151,13 @@ def main(argv=None) -> int:
                     help="data-parallel degree of the serving mesh")
     ap.add_argument("--distributed", action="store_true",
                     help="jax.distributed.initialize() for multi-host")
-    args = ap.parse_args(argv)
+    return ap
 
-    logging.basicConfig(level=logging.INFO)
+
+def run(args) -> dict:
+    """Load/pack the model, drive the engine with the synthetic load
+    (one warm-up wave + the measured run), and return the metrics dict.
+    Shared by the CLI entry point and the driver bench (bench.py)."""
     import jax
 
     from tgq.serve import Engine, ServeConfig
@@ -243,7 +244,16 @@ def main(argv=None) -> int:
             "gen_tokens": args.gen_tokens, "n_requests": args.n_requests,
         },
     }
-    print(json.dumps(out))
+    return out
+
+
+def main(argv=None) -> int:
+    from tgq.utils.jax_setup import setup_jax
+
+    setup_jax()
+    logging.basicConfig(level=logging.INFO)
+    args = build_parser().parse_args(argv)
+    print(json.dumps(run(args)))
     return 0
 
 

@@ -162,11 +162,16 @@ def causal_attention(q, k, v, impl: str = "auto"):
 
 
 def attn_input(lp: Params, cfg: ModelConfig, x: jax.Array) -> jax.Array:
-    """Input to quantization group 0 (q/k/v_proj; gpt2: c_attn)."""
+    """Input to quantization group 0 (q/k/v_proj; gpt2: c_attn; opt:
+    q/k/v_proj after self_attn_layer_norm)."""
     if cfg.family == "gpt2":
         from tgq.models.gpt2 import gpt2_attn_input
 
         return gpt2_attn_input(lp, cfg, x)
+    if cfg.family == "opt":
+        from tgq.models.opt import opt_attn_input
+
+        return opt_attn_input(lp, cfg, x)
     return rms_norm(x, lp["input_layernorm"]["weight"], cfg.rms_norm_eps)
 
 
@@ -179,6 +184,10 @@ def attn_core(
         from tgq.models.gpt2 import gpt2_attn_core
 
         return gpt2_attn_core(lp, cfg, h, attn_impl=attn_impl)
+    if cfg.family == "opt":
+        from tgq.models.opt import opt_attn_core
+
+        return opt_attn_core(lp, cfg, h, attn_impl=attn_impl)
     b, s, _ = h.shape
     q = apply_linear(lp["self_attn"]["q_proj"], h)
     k = apply_linear(lp["self_attn"]["k_proj"], h)
@@ -201,6 +210,10 @@ def mlp_input(lp: Params, cfg: ModelConfig, x2: jax.Array) -> jax.Array:
         from tgq.models.gpt2 import gpt2_mlp_input
 
         return gpt2_mlp_input(lp, cfg, x2)
+    if cfg.family == "opt":
+        from tgq.models.opt import opt_mlp_input
+
+        return opt_mlp_input(lp, cfg, x2)
     return rms_norm(x2, lp["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
 
 
@@ -210,6 +223,10 @@ def mlp_act(lp: Params, cfg: ModelConfig, h: jax.Array) -> jax.Array:
         from tgq.models.gpt2 import gpt2_mlp_act
 
         return gpt2_mlp_act(lp, cfg, h)
+    if cfg.family == "opt":
+        from tgq.models.opt import opt_mlp_act
+
+        return opt_mlp_act(lp, cfg, h)
     gate = apply_linear(lp["mlp"]["gate_proj"], h)
     up = apply_linear(lp["mlp"]["up_proj"], h)
     return jax.nn.silu(gate) * up
@@ -221,6 +238,10 @@ def attn_out_proj(lp: Params, cfg: ModelConfig, attn: jax.Array) -> jax.Array:
         from tgq.models.gpt2 import gpt2_attn_out
 
         return gpt2_attn_out(lp, cfg, attn)
+    if cfg.family == "opt":
+        from tgq.models.opt import opt_attn_out
+
+        return opt_attn_out(lp, cfg, attn)
     return apply_linear(lp["self_attn"]["o_proj"], attn)
 
 
@@ -230,6 +251,10 @@ def mlp_out_proj(lp: Params, cfg: ModelConfig, act: jax.Array) -> jax.Array:
         from tgq.models.gpt2 import gpt2_mlp_out
 
         return gpt2_mlp_out(lp, cfg, act)
+    if cfg.family == "opt":
+        from tgq.models.opt import opt_mlp_out
+
+        return opt_mlp_out(lp, cfg, act)
     return apply_linear(lp["mlp"]["down_proj"], act)
 
 
@@ -259,6 +284,10 @@ def embed_tokens(params: Params, input_ids: jax.Array, dtype=jnp.bfloat16,
         from tgq.models.gpt2 import gpt2_embed
 
         return gpt2_embed(params, input_ids, dtype)
+    if cfg is not None and cfg.family == "opt":
+        from tgq.models.opt import opt_embed
+
+        return opt_embed(params, input_ids, dtype)
     return params["model"]["embed_tokens"]["weight"][input_ids].astype(dtype)
 
 
@@ -267,6 +296,10 @@ def apply_final_norm(params: Params, cfg: ModelConfig, x: jax.Array) -> jax.Arra
         from tgq.models.gpt2 import gpt2_final_norm
 
         return gpt2_final_norm(params, cfg, x)
+    if cfg.family == "opt":
+        from tgq.models.opt import opt_final_norm
+
+        return opt_final_norm(params, cfg, x)
     return rms_norm(x, params["model"]["norm"]["weight"], cfg.rms_norm_eps)
 
 
@@ -316,6 +349,10 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.bfloat16) -> Params:
         from tgq.models.gpt2 import init_gpt2_params
 
         return init_gpt2_params(cfg, key, dtype)
+    if cfg.family == "opt":
+        from tgq.models.opt import init_opt_params
+
+        return init_opt_params(cfg, key, dtype)
     keys = iter(jax.random.split(key, 16 + cfg.num_layers * 16))
 
     def dense(out_f, in_f, scale=None):
@@ -380,6 +417,10 @@ def sequenced_groups(cfg: ModelConfig) -> list[list[str]]:
         from tgq.models.gpt2 import gpt2_sequenced_groups
 
         return gpt2_sequenced_groups(cfg)
+    if cfg.family == "opt":
+        from tgq.models.opt import opt_sequenced_groups
+
+        return opt_sequenced_groups(cfg)
     return [
         ["self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"],
         ["self_attn.o_proj"],

@@ -32,7 +32,10 @@ class ModelConfig:
     # structurally different transformer.h layout: LayerNorm with bias,
     # fused QKV (attn.c_attn), GELU MLP, learned position embeddings
     # (reference model_utils.py:54-74 adapts this family via
-    # model.transformer.h)
+    # model.transformer.h); "opt" is the model.decoder.layers layout:
+    # LayerNorm with bias, unfused biased q/k/v/out projections, ReLU
+    # MLP, learned positions with the HF +2 offset (reference
+    # model_utils.py:60-63)
     family: str = "llama"
 
     @property
@@ -97,6 +100,24 @@ GPT2_XL = _register(ModelConfig(
     max_position_embeddings=1024, seqlen=1024, family="gpt2",
 ))
 
+# OPT family (model.decoder.layers layout: LayerNorm+bias, unfused
+# biased q/k/v/out projections, ReLU fc1/fc2, learned positions with the
+# HF +2 offset; reference model_utils.py:60-63 adapts this family via
+# model.model.decoder.layers).  Pre-norm variants only (350m is
+# post-norm + project_in/out and is rejected at import).
+OPT_125M = _register(ModelConfig(
+    name="opt-125m", vocab_size=50272, hidden_size=768,
+    intermediate_size=3072, num_layers=12, num_heads=12, num_kv_heads=12,
+    head_dim=64, rms_norm_eps=1e-5, qk_norm=False, tie_word_embeddings=True,
+    max_position_embeddings=2048, seqlen=2048, family="opt",
+))
+OPT_1_3B = _register(ModelConfig(
+    name="opt-1.3b", vocab_size=50272, hidden_size=2048,
+    intermediate_size=8192, num_layers=24, num_heads=32, num_kv_heads=32,
+    head_dim=64, rms_norm_eps=1e-5, qk_norm=False, tie_word_embeddings=True,
+    max_position_embeddings=2048, seqlen=2048, family="opt",
+))
+
 # tiny variants for hermetic tests (structure-identical to their parents)
 TINY_QWEN3 = _register(ModelConfig(
     name="tiny-qwen3", vocab_size=512, hidden_size=64,
@@ -129,4 +150,11 @@ TINY_GPT2 = _register(ModelConfig(
     head_dim=16, rms_norm_eps=1e-5, qk_norm=False,
     tie_word_embeddings=True, max_position_embeddings=256, seqlen=128,
     family="gpt2",
+))
+TINY_OPT = _register(ModelConfig(
+    name="tiny-opt", vocab_size=512, hidden_size=64,
+    intermediate_size=256, num_layers=2, num_heads=4, num_kv_heads=4,
+    head_dim=16, rms_norm_eps=1e-5, qk_norm=False,
+    tie_word_embeddings=True, max_position_embeddings=256, seqlen=128,
+    family="opt",
 ))

@@ -29,7 +29,42 @@ _MAX_SHARD_BYTES = 4 * 1024**3  # HF convention: ~4 GB shards
 def hf_config_dict(cfg: ModelConfig) -> dict:
     """ModelConfig → HF config.json dict (inverse of
     hf_import.config_from_hf).  model_type is derived from the feature
-    flags: qk_norm ⇒ qwen3, attention_bias ⇒ qwen2, else llama."""
+    flags: family "gpt2" ⇒ gpt2, qk_norm ⇒ qwen3, attention_bias ⇒
+    qwen2, else llama."""
+    if cfg.family == "gpt2":
+        return {
+            "model_type": "gpt2",
+            "architectures": ["GPT2LMHeadModel"],
+            "vocab_size": cfg.vocab_size,
+            "n_embd": cfg.hidden_size,
+            "n_inner": cfg.intermediate_size,
+            "n_layer": cfg.num_layers,
+            "n_head": cfg.num_heads,
+            "n_positions": cfg.max_position_embeddings,
+            "n_ctx": cfg.max_position_embeddings,
+            "layer_norm_epsilon": cfg.rms_norm_eps,
+            "activation_function": "gelu_new",
+            "tie_word_embeddings": True,
+            "torch_dtype": "bfloat16",
+            "_name_or_path": cfg.name,
+        }
+    if cfg.family == "opt":
+        return {
+            "model_type": "opt",
+            "architectures": ["OPTForCausalLM"],
+            "vocab_size": cfg.vocab_size,
+            "hidden_size": cfg.hidden_size,
+            "ffn_dim": cfg.intermediate_size,
+            "num_hidden_layers": cfg.num_layers,
+            "num_attention_heads": cfg.num_heads,
+            "max_position_embeddings": cfg.max_position_embeddings,
+            "word_embed_proj_dim": cfg.hidden_size,
+            "do_layer_norm_before": True,
+            "activation_function": "relu",
+            "tie_word_embeddings": True,
+            "torch_dtype": "bfloat16",
+            "_name_or_path": cfg.name,
+        }
     if cfg.qk_norm:
         model_type = "qwen3"
         architectures = ["Qwen3ForCausalLM"]
@@ -95,6 +130,56 @@ def _hf_state_dict(params, dtype) -> dict[str, np.ndarray]:
     return out
 
 
+def _gpt2_rename(name: str) -> str:
+    """tgq gpt2 tree name → HF ``transformer.*`` name (inverse of
+    hf_import._map_gpt2_tensor)."""
+    if name.startswith("model.embed_tokens."):
+        return "transformer.wte." + name[len("model.embed_tokens."):]
+    if name.startswith("model.wpe."):
+        return "transformer.wpe." + name[len("model.wpe."):]
+    if name.startswith("model.norm."):
+        return "transformer.ln_f." + name[len("model.norm."):]
+    if name.startswith("model.layers."):
+        return "transformer.h." + name[len("model.layers."):]
+    return name
+
+
+def _gpt2_state_dict(params, dtype) -> dict[str, np.ndarray]:
+    """gpt2-family flatten: HF Conv1D modules (c_attn/c_proj/c_fc) store
+    (in, out) — re-transpose the (out, in) ``w`` convention back (the
+    exact inverse of hf_import._map_gpt2_tensor's import transpose)."""
+    state = _hf_state_dict(params, dtype)
+    out: dict[str, np.ndarray] = {}
+    for name, arr in state.items():
+        parts = name.split(".")
+        if (len(parts) >= 2 and parts[-1] == "weight"
+                and parts[-2] in ("c_attn", "c_proj", "c_fc")):
+            arr = np.ascontiguousarray(arr.T)
+        out[_gpt2_rename(name)] = arr
+    return out
+
+
+def _opt_rename(name: str) -> str:
+    """tgq opt tree name → HF ``model.decoder.*`` name (inverse of
+    hf_import._map_opt_tensor).  OPT projections are nn.Linear — no
+    transpose needed."""
+    if name.startswith("model.embed_tokens."):
+        return ("model.decoder.embed_tokens."
+                + name[len("model.embed_tokens."):])
+    if name.startswith("model.wpe."):
+        return "model.decoder.embed_positions." + name[len("model.wpe."):]
+    if name.startswith("model.norm."):
+        return "model.decoder.final_layer_norm." + name[len("model.norm."):]
+    if name.startswith("model.layers."):
+        return "model.decoder.layers." + name[len("model.layers."):]
+    return name
+
+
+def _opt_state_dict(params, dtype) -> dict[str, np.ndarray]:
+    state = _hf_state_dict(params, dtype)
+    return {_opt_rename(name): arr for name, arr in state.items()}
+
+
 def export_hf(path: str, params, cfg: ModelConfig, tokenizer=None,
               dtype=None) -> None:
     """Write an HF-ecosystem checkpoint directory: sharded bf16
@@ -108,18 +193,20 @@ def export_hf(path: str, params, cfg: ModelConfig, tokenizer=None,
     import ml_dtypes
     from safetensors.numpy import save_file
 
-    if cfg.family == "gpt2":
-        raise NotImplementedError(
-            "HF export of the gpt2 family (Conv1D re-transpose + "
-            "transformer.h renames) is not implemented; use the packed "
-            "checkpoint (tgq.core.checkpoint)")
     if dtype is None:
         dtype = ml_dtypes.bfloat16
     os.makedirs(path, exist_ok=True)
 
-    state = _hf_state_dict(params, dtype)
-    if cfg.tie_word_embeddings:
-        state.pop("lm_head.weight", None)
+    if cfg.family == "gpt2":
+        state = _gpt2_state_dict(params, dtype)
+        state.pop("lm_head.weight", None)  # tied to wte
+    elif cfg.family == "opt":
+        state = _opt_state_dict(params, dtype)
+        state.pop("lm_head.weight", None)  # tied to embed_tokens
+    else:
+        state = _hf_state_dict(params, dtype)
+        if cfg.tie_word_embeddings:
+            state.pop("lm_head.weight", None)
 
     # shard by the HF ~4 GB convention
     shards: list[dict[str, np.ndarray]] = [{}]

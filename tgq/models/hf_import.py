@@ -38,6 +38,31 @@ def config_from_hf(hf_cfg: dict) -> ModelConfig:
             seqlen=min(2048, hf_cfg.get("n_positions", 1024)),
             family="gpt2",
         )
+    if model_type == "opt":
+        # model.decoder.layers layout (reference model_utils.py:60-63)
+        h = hf_cfg["hidden_size"]
+        if hf_cfg.get("word_embed_proj_dim", h) != h:
+            raise ValueError(
+                "OPT variants with word_embed_proj_dim != hidden_size "
+                "(project_in/out, e.g. opt-350m) are not supported")
+        if not hf_cfg.get("do_layer_norm_before", True):
+            raise ValueError(
+                "post-norm OPT variants (do_layer_norm_before=False, "
+                "e.g. opt-350m) are not supported")
+        heads = hf_cfg["num_attention_heads"]
+        return ModelConfig(
+            name=hf_cfg.get("_name_or_path") or "opt",
+            vocab_size=hf_cfg["vocab_size"], hidden_size=h,
+            intermediate_size=hf_cfg.get("ffn_dim") or 4 * h,
+            num_layers=hf_cfg["num_hidden_layers"], num_heads=heads,
+            num_kv_heads=heads, head_dim=h // heads,
+            rms_norm_eps=1e-5, qk_norm=False,
+            tie_word_embeddings=hf_cfg.get("tie_word_embeddings", True),
+            max_position_embeddings=hf_cfg.get("max_position_embeddings",
+                                               2048),
+            seqlen=min(2048, hf_cfg.get("max_position_embeddings", 2048)),
+            family="opt",
+        )
     qk_norm = model_type == "qwen3"
     head_dim = hf_cfg.get("head_dim") or (
         hf_cfg["hidden_size"] // hf_cfg["num_attention_heads"]
@@ -112,6 +137,39 @@ def _map_gpt2_tensor(key: str, tensor, dtype):
     return name, arr
 
 
+def _map_opt_tensor(key: str, tensor, dtype):
+    """HF OPT name → tgq tree (tgq.models.opt layout docstring).
+
+    model.decoder.embed_tokens → model.embed_tokens, embed_positions →
+    model.wpe (offset rows kept), decoder.final_layer_norm →
+    model.norm, decoder.layers.N → model.layers.N.  OPT projections are
+    true nn.Linear (out, in) — no Conv1D transpose; ``weight``/``bias``
+    rename to ``w``/``b`` on the quantizable linears only.
+    Returns (dotted_name, array) or None to skip."""
+    name = key
+    if name.startswith("model.decoder."):
+        name = "model." + name[len("model.decoder."):]
+    elif name.startswith("decoder."):
+        name = "model." + name[len("decoder."):]
+    if name.startswith("model.embed_positions."):
+        name = "model.wpe." + name[len("model.embed_positions."):]
+    elif name.startswith("model.final_layer_norm."):
+        name = "model.norm." + name[len("model.final_layer_norm."):]
+    elif name.startswith("lm_head."):
+        return None  # tied to embed_tokens
+    arr = np.asarray(tensor)
+    if arr.dtype.kind == "f":
+        arr = arr.astype(dtype)
+    parts = name.split(".")
+    if len(parts) >= 2 and parts[-2] in ("q_proj", "k_proj", "v_proj",
+                                         "out_proj", "fc1", "fc2"):
+        if parts[-1] == "weight":
+            return name.rsplit(".", 1)[0] + ".w", arr
+        if parts[-1] == "bias":
+            return name.rsplit(".", 1)[0] + ".b", arr
+    return name, arr
+
+
 def load_hf_checkpoint(path: str, dtype=None):
     """(params, ModelConfig) from a local HF checkpoint directory."""
     import ml_dtypes
@@ -136,8 +194,10 @@ def load_hf_checkpoint(path: str, dtype=None):
 
     n_tensors = 0
     for key, tensor in _iter_safetensor_shards(path):
-        if cfg.family == "gpt2":
-            mapped = _map_gpt2_tensor(key, tensor, dtype)
+        if cfg.family in ("gpt2", "opt"):
+            mapper = (_map_gpt2_tensor if cfg.family == "gpt2"
+                      else _map_opt_tensor)
+            mapped = mapper(key, tensor, dtype)
             if mapped is not None:
                 put(*mapped)
                 n_tensors += 1

@@ -110,19 +110,73 @@ def _slice_layer(tree, li):
     return rec(tree)
 
 
-def default_attn_impl(mesh=None, cfg=None) -> str:
-    """Fused kernel on single-device TPU; XLA gather path elsewhere
-    (CPU, or TP meshes where a custom call cannot be auto-partitioned).
+def default_attn_impl(mesh=None, cfg=None, kv_bits: int = 16) -> str:
+    """Fused kernel on TPU — single-device, or TP meshes where every
+    shard's pool slice stays DMA-aligned (the kernel runs per-shard via
+    shard_map, see ``_kernel_attention_tp``); XLA gather path elsewhere.
 
-    The kernel DMAs whole KV-pool pages as (page_size, kv_heads*head_dim)
-    blocks, so the fused dim must be a multiple of the 128-lane tile or
-    Mosaic rejects the memref slice — real models are (768..1024), but
-    shrunken test configs may not be; those fall back to gather."""
-    if jax.default_backend() != "tpu" or mesh is not None:
+    The kernel DMAs whole KV-pool pages as (page_size, fused) blocks
+    where fused = kv_heads·head_dim / tp per shard, so the *stored* dim
+    must be a multiple of the 128-lane tile or Mosaic rejects the memref
+    slice.  int4 pools nibble-pack two features per byte, so their
+    stored lane extent is fused/2 — an int4 cache needs fused % 256 == 0
+    per shard.  Real presets (fused 768..1024) pass at tp ≤ 4; shrunken
+    test configs may not, and fall back to gather."""
+    if jax.default_backend() != "tpu":
         return "gather"
-    if cfg is not None and (cfg.num_kv_heads * cfg.head_dim) % 128 != 0:
-        return "gather"
+    tp = 1 if mesh is None else mesh.shape.get("model", 1)
+    if cfg is not None:
+        if cfg.num_kv_heads % tp != 0:
+            return "gather"
+        fused_local = cfg.num_kv_heads * cfg.head_dim // tp
+        stored = fused_local // 2 if kv_bits == 4 else fused_local
+        if stored % 128 != 0:
+            return "gather"
     return "kernel"
+
+
+def _kernel_attention_tp(num_kv_heads: int, qs, cache: PagedKVCache, li,
+                         lens, table, k_cur, v_cur, mesh):
+    """Fused paged attention under a TP mesh: shard_map over "model".
+
+    The pools are head-sharded (kv_cache sharding in Engine.__init__)
+    and GQA groups are contiguous in the q-head dim, so each shard owns
+    ``kvh/tp`` complete KV-head groups plus their q heads — attention
+    is fully local, zero collectives; each shard runs the same Pallas
+    kernel on its slice (mirrors quantized_matmul_tp's routing of the
+    dequant matmuls, tgq.parallel.mesh)."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from tgq.kernels.paged_attention import paged_decode_attention
+
+    tp = mesh.shape["model"]
+    kvh_local = num_kv_heads // tp
+    opt = lambda a, spec: None if a is None else spec  # noqa: E731
+
+    in_specs = (
+        P(None, "model", None),                       # q (slots, H, d)
+        P(None, None, None, "model"),                 # k pools
+        P(None, None, None, "model"),                 # v pools
+        opt(cache.ks, P(None, None, "model", None)),  # k scales
+        opt(cache.vs, P(None, None, "model", None)),  # v scales
+        P(),                                          # layer index
+        P(),                                          # lens
+        P(),                                          # page table
+        opt(k_cur, P(None, "model")),                 # current-token K
+        opt(v_cur, P(None, "model")),                 # current-token V
+    )
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
+             out_specs=P(None, "model", None), check_vma=False)
+    def f(q, k, v, ks, vs, li, lens, table, kc, vc):
+        return paged_decode_attention(
+            q, k, v, ks, vs, li, lens, table, kc, vc,
+            num_kv_heads=kvh_local)
+
+    return f(qs, cache.k, cache.v, cache.ks, cache.vs,
+             jnp.asarray(li, jnp.int32), lens, table, k_cur, v_cur)
 
 
 def _rope_at(cos_tab, sin_tab, pos, x):
@@ -198,11 +252,18 @@ def _decode_layer(lp, li, cfg: ModelConfig, x, cache: PagedKVCache,
             k_cur = k_cur / ek
         if cache.v_eq is not None:
             v_cur = v_cur / cache.v_eq[li]
-        attn = paged_decode_attention(
-            qs, cache.k, cache.v,
-            cache.ks, cache.vs, li, lens, table,
-            k_cur, v_cur,
-            num_kv_heads=cfg.num_kv_heads)
+        from tgq.parallel.mesh import serving_mesh
+
+        mesh = serving_mesh()
+        if mesh is not None and mesh.shape.get("model", 1) > 1:
+            attn = _kernel_attention_tp(cfg.num_kv_heads, qs, cache, li,
+                                        lens, table, k_cur, v_cur, mesh)
+        else:
+            attn = paged_decode_attention(
+                qs, cache.k, cache.v,
+                cache.ks, cache.vs, li, lens, table,
+                k_cur, v_cur,
+                num_kv_heads=cfg.num_kv_heads)
         if cache.v_eq is not None:
             # stored rows are V/eq ⇒ the weighted sum scales back per channel
             attn = (attn.reshape(slots, cfg.num_kv_heads, rep, cfg.head_dim)

@@ -102,9 +102,10 @@ class Engine:
         axis, so the same engine serves single-chip or a whole slice.
         ``stack_layers``: scan-friendly stacked layer params (one traced
         decode layer regardless of depth)."""
-        assert cfg.family != "gpt2", (
+        assert cfg.family == "llama", (
             "the serving engine implements the rope/GQA decode path; "
-            "gpt2-family models are supported for quantization/eval only")
+            "gpt2/opt-family models are supported for quantization/eval "
+            "only")
         self.cfg = cfg
         self.scfg = scfg
         self.mesh = mesh
@@ -152,10 +153,12 @@ class Engine:
             self.cache = cache
         from tgq.serve.decode import default_attn_impl
 
-        # "auto" (default): fused kernel on single-device TPU, gather
-        # elsewhere; override for experiments / interpret-mode testing
+        # "auto" (default): fused kernel on TPU (single-device or TP
+        # with per-shard DMA alignment — including the tighter int4
+        # nibble-packed lane extent), gather elsewhere; override for
+        # experiments / interpret-mode testing
         self.attn_impl = (scfg.attn_impl if scfg.attn_impl != "auto"
-                          else default_attn_impl(mesh, cfg))
+                          else default_attn_impl(mesh, cfg, scfg.kv_bits))
         self.pt = PageTable(scfg.num_pages, scfg.page_size, scfg.max_slots,
                             scfg.max_pages_per_slot)
         self.slots: list[Optional[Request]] = [None] * scfg.max_slots
@@ -195,14 +198,6 @@ class Engine:
         return finished
 
     # -------------------------------------------------------- internals
-
-    def _sample(self, logits: jax.Array, temperature: float) -> int:
-        if temperature and temperature > 0:
-            self.key, sub = jax.random.split(self.key)
-            tok = jax.random.categorical(sub, logits / temperature)
-        else:
-            tok = jnp.argmax(logits)
-        return int(tok)
 
     def _admit(self) -> None:
         """Admit queued requests into free slots.  Head-of-queue requests
