@@ -5,7 +5,8 @@
 // the device-bound page-table / length arrays.  The reference codebase
 // has no serving runtime at all; this is the production-scale native
 // counterpart of tgq.serve.kv_cache.PageTable (semantics identical —
-// tests/test_native.py checks equivalence on randomized op sequences).
+// tests/test_serve.py::test_page_allocator_backends_equivalent checks
+// equivalence on randomized op sequences).
 //
 // CPython C API (no pybind11 in this image).  Buffers are plain C
 // arrays; device_tables() fills caller-provided NumPy buffers through

@@ -26,16 +26,18 @@ import numpy as np
 
 
 def _attention(q, kg, vg, n_ctx):
-    """f32 reference attention for one slot: q (kvh, d); kg/vg
-    (tokens, kvh, d) → (kvh, d)."""
+    """f32 reference attention: q (nq, kvh, d); kg/vg (tokens, kvh, d)
+    → (nq, kvh, d).  Multiple random queries average out the
+    variance of the softmax-winner positions (a single query makes the
+    error metric noisy across contexts)."""
     import jax.numpy as jnp
 
     k = kg[:n_ctx].astype(jnp.float32)
     v = vg[:n_ctx].astype(jnp.float32)
-    logits = jnp.einsum("hd,thd->ht", q, k) / np.sqrt(q.shape[-1])
+    logits = jnp.einsum("qhd,thd->qht", q, k) / np.sqrt(q.shape[-1])
     p = jnp.exp(logits - logits.max(axis=-1, keepdims=True))
     p = p / p.sum(axis=-1, keepdims=True)
-    return jnp.einsum("ht,thd->hd", p, v)
+    return jnp.einsum("qht,thd->qhd", p, v)
 
 
 def run(contexts, kv_heads=8, head_dim=128, page_size=64, seed=0,
@@ -62,7 +64,8 @@ def run(contexts, kv_heads=8, head_dim=128, page_size=64, seed=0,
              * a_k).reshape(n_max, kv_heads, head_dim)
     v_raw = (rng.standard_normal((n_max, fused)).astype(np.float32)
              * a_v).reshape(n_max, kv_heads, head_dim)
-    q = jnp.asarray(rng.standard_normal((kv_heads, head_dim)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((16, kv_heads, head_dim)),
+                    jnp.float32)
 
     # oracle equalizers = the true per-channel RMS, mean-1 per head
     # (kv_calibrate.estimate_kv_equalizers recovers these from data)
@@ -98,6 +101,39 @@ def run(contexts, kv_heads=8, head_dim=128, page_size=64, seed=0,
                 rows.append({"format": f"int{bits}" + ("+eq" if use_eq
                                                        else ""),
                              "context": n, "rel_err": round(err, 6)})
+
+    # KIVI-style per-channel-per-page K scales on top of the equalizers
+    # (simulated math, mirroring the page layout) — measured to decide
+    # whether the dynamic per-channel scheme earns a production format.
+    # Verdict (see RESULTS.md): the static equalizers already capture
+    # the channel structure, so this adds only ~4% at int4, and the V
+    # path alone (per-token int4+eq, the KIVI V-side default) exceeds
+    # the 0.05 target — INT4 KV stays documented-experimental.
+    ke, ve = eq_of(a_k), eq_of(a_v)
+    k_eqd = (k_raw.reshape(n_max, fused) / ke)
+    kp = k_eqd.reshape(n_max // page_size, page_size, fused)
+    s = np.maximum(np.abs(kp).max(axis=1) / 7.0, 1e-10)  # (pages, fused)
+    kq = np.clip(np.round(kp / s[:, None, :]), -7, 7) * s[:, None, :]
+    k_kchan = jnp.asarray((kq.reshape(n_max, fused) * ke)
+                          .reshape(n_max, kv_heads, head_dim))
+    v_eqd = v_raw.reshape(n_max, kv_heads, head_dim) / ve.reshape(
+        kv_heads, head_dim)
+    sv = np.maximum(np.abs(v_eqd).max(axis=-1) / 7.0, 1e-10)
+    vq = np.clip(np.round(v_eqd / sv[..., None]), -7, 7) * sv[..., None]
+    v_tok = jnp.asarray(vq * ve.reshape(kv_heads, head_dim))
+    for n in contexts:
+        out = _attention(q, k_kchan, v_tok, n)
+        err = float(np.linalg.norm(np.asarray(out - ref[n]))
+                    / np.linalg.norm(np.asarray(ref[n])))
+        rows.append({"format": "int4+eq+kchan(sim)", "context": n,
+                     "rel_err": round(err, 6)})
+        # floor: K exact, V per-token int4+eq — no K-side scheme can
+        # bring the total under this
+        out = _attention(q, kj, v_tok, n)
+        err = float(np.linalg.norm(np.asarray(out - ref[n]))
+                    / np.linalg.norm(np.asarray(ref[n])))
+        rows.append({"format": "int4 V-only floor(sim)", "context": n,
+                     "rel_err": round(err, 6)})
     return rows
 
 
