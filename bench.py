@@ -211,12 +211,32 @@ def _quantize_bench(args, jax, jnp, backend, on_tpu) -> None:
         print(f"[bench] {k:16s} {v['total_s']:7.2f}s (n={v['count']})",
               file=sys.stderr)
 
+    phases = None
+    if on_tpu and not args.sync_phases:
+        # honest per-phase attribution needs a host fetch after every
+        # phase (async dispatch otherwise charges everything to
+        # whichever phase syncs first — r2 verdict weak #6); take it
+        # from a separate fenced run so the headline number stays
+        # pipeline-parallel
+        from tgq.utils.profiling import PhaseTimers
+
+        print("[bench] fenced attribution pass...", file=sys.stderr)
+        t_sync, sync_timers = run_layer(jax.device_put(lp),
+                                        timers=PhaseTimers(sync=True))
+        phases = {k: v["total_s"] for k, v in sync_timers.summary().items()}
+        phases["_fenced_total_s"] = round(t_sync, 2)
+        for k, v in sync_timers.summary().items():
+            print(f"[bench] fenced {k:16s} {v['total_s']:7.2f}s "
+                  f"(n={v['count']})", file=sys.stderr)
+
     out = {
         "metric": "qwen3_8b_layer_quantize_seconds",
         "value": round(t, 2),
         "unit": "s",
         "vs_baseline": round(BASELINE_S / t, 3),
     }
+    if phases is not None:
+        out["phases_fenced"] = phases
     if not on_tpu:
         out["status"] = (f"backend={backend}: smoke-test on {preset} "
                          f"(n={args.n_samples}, s={args.seq_len}); "

@@ -186,7 +186,33 @@ def main(argv=None) -> int:
     results["sampling_ms"] = round(dt * 1e3, 2)
     print(f"[decode_bench] sampling:      {dt*1e3:7.2f} ms/step", flush=True)
 
-    total = sum(results.values())
+    # ---- composed decode step (the real decode_steps path) --------------
+    # slope over the fused-chunk length: decode_steps(n) vs decode_steps(2n)
+    # cancels dispatch+fetch, giving honest ms/step of the production path
+    # (components above are isolation numbers; this is the ground truth)
+    from tgq.serve.decode import decode_steps
+
+    temps_all = jnp.zeros((slots,), jnp.float32)
+    toks0 = jnp.ones((slots,), jnp.int32)
+    key0 = jax.random.key(0)
+    # leave chunk headroom: place lens mid-context so lens+2*reps stays
+    # within the table
+    lens_c = jnp.full((slots,), max(args.context - 2 * args.reps - 1, 1),
+                      jnp.int32)
+    state = {"c": cache, "k": key0}
+
+    def run_steps(n):
+        toks, state["c"], state["k"] = decode_steps(
+            params, state["c"], cfg, table, lens_c + 1, toks0, lens_c,
+            temps_all, state["k"], n, "kernel")
+        return int(np.asarray(toks)[-1, 0])
+
+    dt = _slope(run_steps, args.reps)
+    results["composed_ms"] = round(dt * 1e3, 2)
+    print(f"[decode_bench] composed step:  {dt*1e3:7.2f} ms/step "
+          f"({slots / dt:.0f} tok/s)", flush=True)
+
+    total = sum(v for k, v in results.items() if k != "composed_ms")
     print(json.dumps({
         "metric": "decode_step_component_ms",
         "value": round(total, 2), "unit": "ms",
