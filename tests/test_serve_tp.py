@@ -129,3 +129,41 @@ def test_tp_kernel_attn_matches_tp_gather(eight_devices):
         kernel_out = run("kernel")
     gather_out = run("gather")
     assert kernel_out == gather_out, (kernel_out, gather_out)
+
+
+def test_default_attn_impl_alignment(monkeypatch):
+    """Kernel routing: on TPU the fused kernel is chosen whenever every
+    shard's page DMA stays 128-lane aligned — including the int4
+    nibble-packed case where the stored lane extent is fused/2 (advisor
+    r2: fused%256 needed for int4)."""
+    from tgq.models import PRESETS as P2
+    from tgq.serve import decode as dec
+
+    monkeypatch.setattr(dec.jax, "default_backend", lambda: "tpu")
+    qwen = P2["qwen3-8b"]          # kvh 8 x d 128 = fused 1024
+    kv128 = P2["tiny-qwen3-kv128"]  # kvh 2 x d 64 = fused 128
+
+    assert dec.default_attn_impl(None, qwen, 16) == "kernel"
+    assert dec.default_attn_impl(None, qwen, 4) == "kernel"   # 512 stored
+    # fused 128 is aligned at bf16/int8 but int4 stores 64 lanes
+    assert dec.default_attn_impl(None, kv128, 8) == "kernel"
+    assert dec.default_attn_impl(None, kv128, 4) == "gather"
+
+    class M2:  # minimal mesh stand-ins (shape only)
+        shape = {"data": 4, "model": 2}
+
+    class M8:
+        shape = {"data": 1, "model": 8}
+
+    assert dec.default_attn_impl(M2(), qwen, 8) == "kernel"   # 512/shard
+    assert dec.default_attn_impl(M8(), qwen, 8) == "kernel"   # 128/shard
+    assert dec.default_attn_impl(M8(), qwen, 4) == "gather"   # 64 stored
+    assert dec.default_attn_impl(M2(), kv128, 8) == "gather"  # 64/shard
+    # tp not dividing kv heads → gather
+    class M3:
+        shape = {"data": 1, "model": 3}
+
+    assert dec.default_attn_impl(M3(), qwen, 8) == "gather"
+
+    monkeypatch.setattr(dec.jax, "default_backend", lambda: "cpu")
+    assert dec.default_attn_impl(None, qwen, 8) == "gather"
