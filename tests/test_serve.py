@@ -563,3 +563,48 @@ def test_checkpoint_kv_equalizer_roundtrip(tmp_path, params):
     save_quantized(path2, params, {}, CFG, {"w_bits": 4})
     _, _, qconf2 = load_quantized(path2)
     assert "kv_equalizers" not in qconf2
+
+
+@pytest.mark.parametrize("bits", [3, 2])
+def test_sub_nibble_packed_serving(bits):
+    """INT3/INT2 packed weights through the full engine: decode is
+    deterministic and matches a dense engine built from the same
+    dequantized weights (the packed matmul computes x@dequantize().T in
+    f32 on the XLA path, so a dense f32-weight engine is bit-identical
+    on CPU)."""
+    import copy
+
+    from tgq.core.packing import PackedLinear
+    from tgq.core.quant import QuantSpec, expand_params, find_params, quantize
+    from tgq.models import PRESETS, init_params
+    from tgq.models.causal_lm import get_nested, set_nested, find_linear_paths
+
+    cfg = PRESETS["tiny-qwen3"]
+    params = init_params(cfg, jax.random.key(21))
+    spec = QuantSpec(bits=bits, group_size=32, sym=False)
+    qparams = copy.deepcopy(params)
+    dparams = copy.deepcopy(params)
+    for lp_q, lp_d in zip(qparams["model"]["layers"],
+                          dparams["model"]["layers"]):
+        for name in find_linear_paths(cfg):
+            w = get_nested(lp_q, name)["w"].astype(jnp.float32)
+            p = find_params(w, spec)
+            s, z = expand_params(p, w.shape[1])
+            q = quantize(w, s, z, spec).astype(jnp.int32)
+            pl = PackedLinear.from_codes(q, p.scale, p.zero, spec)
+            set_nested(lp_q, name, pl)
+            set_nested(lp_d, name, {"w": pl.dequantize(jnp.float32)})
+
+    scfg = ServeConfig(max_slots=2, page_size=8, num_pages=32,
+                       max_pages_per_slot=8, max_new_tokens=5)
+    prompts = [[5, 17, 42], [7, 9, 3, 1]]
+
+    eng_q = Engine(qparams, cfg, scfg)
+    reqs_q = [eng_q.submit(p) for p in prompts]
+    eng_q.run()
+    eng_d = Engine(dparams, cfg, scfg)
+    reqs_d = [eng_d.submit(p) for p in prompts]
+    eng_d.run()
+    for rq, rd in zip(reqs_q, reqs_d):
+        assert len(rq.output) == 5
+        assert rq.output == rd.output, (bits, rq.output, rd.output)
