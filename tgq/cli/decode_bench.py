@@ -204,7 +204,7 @@ def main(argv=None) -> int:
     def run_steps(n):
         toks, state["c"], state["k"] = decode_steps(
             params, state["c"], cfg, table, lens_c + 1, toks0, lens_c,
-            temps_all, state["k"], n, "kernel")
+            temps_all, state["k"], n, "kernel", greedy_only=True)
         return int(np.asarray(toks)[-1, 0])
 
     dt = _slope(run_steps, args.reps)

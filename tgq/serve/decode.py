@@ -365,22 +365,32 @@ def decode_step(params, cache: PagedKVCache, cfg: ModelConfig,
                             attn_impl)
 
 
-def _sample_tokens(logits, temps, key):
+def _sample_tokens(logits, temps, key, greedy_only: bool = False):
     """Per-slot greedy/temperature sampling on device.  logits: (slots,
-    vocab); temps: (slots,) with 0 = greedy.  Returns (tokens, key)."""
-    key, sub = jax.random.split(key)
+    vocab); temps: (slots,) with 0 = greedy.  Returns (tokens, key).
+
+    ``greedy_only`` (static, from the engine when every active request
+    has temperature 0 — the common serving default) skips the
+    categorical path entirely: at a 152k vocab the threefry gumbel
+    draw + log/divide is ~300 MB of VPU traffic per decode step that
+    the ``where`` would just throw away."""
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if greedy_only:
+        return greedy, key
+    key, sub = jax.random.split(key)
     safe_t = jnp.maximum(temps, 1e-6)[:, None]
     sampled = jax.random.categorical(
         sub, logits.astype(jnp.float32) / safe_t, axis=-1).astype(jnp.int32)
     return jnp.where(temps > 0, sampled, greedy), key
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_steps", "attn_impl", "mesh"),
+@partial(jax.jit, static_argnames=("cfg", "n_steps", "attn_impl", "mesh",
+                                   "greedy_only"),
          donate_argnums=(1,))
 def decode_steps(params, cache: PagedKVCache, cfg: ModelConfig,
                  table, lens, tokens, pos, temps, key, n_steps: int,
-                 attn_impl: str = "gather", mesh=None):
+                 attn_impl: str = "gather", mesh=None,
+                 greedy_only: bool = False):
     """``n_steps`` tokens for every slot with zero host round-trips.
 
     The per-step host sync (sampled-token D2H + full-logits transfer)
@@ -400,7 +410,7 @@ def decode_steps(params, cache: PagedKVCache, cfg: ModelConfig,
         cache, tok, lens, pos, key = carry
         logits, cache = _decode_core(params, cache, cfg, table, lens, tok,
                                      pos, attn_impl)
-        tok, key = _sample_tokens(logits, temps, key)
+        tok, key = _sample_tokens(logits, temps, key, greedy_only)
         return (cache, tok, lens + 1, pos + 1, key), tok
 
     with serving_mesh_scope(mesh):
@@ -500,9 +510,11 @@ def _prefill_core(params, cache: PagedKVCache, cfg: ModelConfig,
     return logits, cache
 
 
-@partial(jax.jit, static_argnames=("cfg", "mesh"), donate_argnums=(1,))
+@partial(jax.jit, static_argnames=("cfg", "mesh", "greedy_only"),
+         donate_argnums=(1,))
 def prefill_batch(params, cache: PagedKVCache, cfg: ModelConfig,
-                  slot_pages, input_ids, true_len, temps, key, mesh=None):
+                  slot_pages, input_ids, true_len, temps, key, mesh=None,
+                  greedy_only: bool = False):
     """Batched prefill with on-device sampling: returns (first tokens
     (b,) int32, cache, key) — only b int32s cross to the host, and b
     prompts cost one dispatch instead of b (admission-wave TTFT)."""
@@ -511,5 +523,5 @@ def prefill_batch(params, cache: PagedKVCache, cfg: ModelConfig,
     with serving_mesh_scope(mesh):
         logits, cache = _prefill_core(params, cache, cfg, slot_pages,
                                       input_ids, true_len)
-        toks, key = _sample_tokens(logits, temps, key)
+        toks, key = _sample_tokens(logits, temps, key, greedy_only)
     return toks, cache, key

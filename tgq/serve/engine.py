@@ -246,6 +246,7 @@ class Engine:
                 jnp.asarray(slot_pages), jnp.asarray(ids),
                 jnp.asarray(true_len), jnp.asarray(temps), self.key,
                 mesh=self.mesh,
+                greedy_only=bool((temps == 0).all()),
             )
             toks = np.asarray(toks)
             now = time.time()
@@ -319,11 +320,16 @@ class Engine:
                         else self.scfg.temperature)
         # decode_step convention at step 0: lens includes the token
         # being decoded, pos = lens - 1
+        # static greedy flag: when every active slot decodes greedily
+        # (the serving default), _sample_tokens skips the categorical
+        # path — ~300 MB/step of thrown-away gumbel work at a 152k
+        # vocab.  At most two jit variants exist (greedy / sampled).
+        greedy = all(temps[s] == 0 for s in active)
         toks, self.cache, self.key = decode_steps(
             self.params, self.cache, self.cfg, table,
             jnp.asarray(lens0 + 1), jnp.asarray(tokens),
             jnp.asarray(lens0), jnp.asarray(temps), self.key, n,
-            self.attn_impl, mesh=self.mesh,
+            self.attn_impl, mesh=self.mesh, greedy_only=greedy,
         )
         self.steps += n
         return _Chunk(toks, [(s, self.slots[s]) for s in active], n)
