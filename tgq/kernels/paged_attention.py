@@ -78,7 +78,7 @@ class _BlockCopy:
 
 
 def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
-            init_flag_ref,
+            init_flag_ref, next_live_ref,
             q_ref, k_ref, ks_ref, v_ref, vs_ref, kc_ref, vc_ref,
             o_ref,
             k_vmem, ks_vmem, v_vmem, vs_vmem, k_sems, v_sems, *,
@@ -111,17 +111,16 @@ def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
         return lax.div(pool_len_of(bb) + block - 1, block)
 
     def next_block(b, i):
-        """First (b', i') with work at/after block i of slot b."""
-        def advance_b():
-            nb = lax.fori_loop(
-                b + 1, batch_size,
-                lambda _, bb: jnp.where(
-                    n_blocks_of(lax.clamp(0, bb, batch_size - 1)) == 0,
-                    bb + 1, bb),
-                b + 1)
-            return nb, 0
+        """First (b', i') with work at/after block i of slot b.
 
-        return lax.cond(i < n_blocks_of(b), lambda: (b, i), advance_b)
+        ``next_live_ref[b]`` is the next slot after b with pool work
+        (batch_size sentinel when none), precomputed OUTSIDE the kernel
+        by the wrapper — the previous in-kernel linear scan cost O(batch)
+        scalar SMEM iterations per block invocation, which at 128 slots
+        × 36 layers × 1 block each was hundreds of thousands of scalar
+        steps per decode step, all replaced by one table read."""
+        return lax.cond(i < n_blocks_of(b), lambda: (b, i),
+                        lambda: (next_live_ref[b], 0))
 
     def make_copies(b, i, buf):
         base = b * pages_per_sequence + i * ppb
@@ -319,6 +318,17 @@ def paged_decode_attention(
     page_bytes = page_size * fused_stored * k_pages.dtype.itemsize
     ppb = max(1, min(pages_per_sequence, 262144 // page_bytes))
     has_current = k_current is not None
+    # next-live-slot table for the kernel's cross-program DMA prefetch:
+    # nl[b] = smallest b' > b whose POOL holds tokens (with k_current the
+    # pools cover [0, len-1), so a 1-token slot has no pool work),
+    # batch_size when none — O(batch log batch) once here vs an O(batch)
+    # scalar scan per block inside the kernel
+    pool_lens = lengths - 1 if has_current else lengths
+    slot_ids = jnp.arange(batch, dtype=jnp.int32)
+    vals = jnp.where(pool_lens > 0, slot_ids, batch)
+    suffix_min = lax.associative_scan(jnp.minimum, vals, reverse=True)
+    next_live = jnp.concatenate(
+        [suffix_min[1:], jnp.full((1,), batch, jnp.int32)])
     io_spec = pl.BlockSpec((None, num_q_heads, head_dim),
                            lambda b, *_: (b, 0, 0))
     cur_spec = pl.BlockSpec((None, 1, fused), lambda b, *_: (b, 0, 0))
@@ -339,8 +349,9 @@ def paged_decode_attention(
             attn_logits_soft_cap=attn_logits_soft_cap,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            # lengths, page_indices, layer, buffer_index, init_flag
-            num_scalar_prefetch=5,
+            # lengths, page_indices, layer, buffer_index, init_flag,
+            # next_live
+            num_scalar_prefetch=6,
             in_specs=[
                 io_spec,
                 any_spec,
@@ -368,6 +379,7 @@ def paged_decode_attention(
         jnp.asarray(layer, jnp.int32).reshape(1),
         jnp.zeros((1,), jnp.int32),
         jnp.ones((1,), jnp.int32),
+        next_live.astype(jnp.int32),
         q.astype(jnp.float32),
         k_pages,
         k_scales if quantized else None,
