@@ -335,14 +335,18 @@ class Engine:
         return _Chunk(toks, [(s, self.slots[s]) for s in active], n)
 
     def _can_speculate(self, pending: _Chunk) -> bool:
-        """Safe to dispatch chunk N+1 before reading chunk N's tokens:
-        nothing queued (admissions should interleave) and page capacity
-        for one more chunk.  A slot that finishes inside chunk N — EOS
-        or budget — discards its speculative tokens at collect, and its
-        pages stay out of the free pool until the speculative chunk's
-        device work completes (``_retire`` defers them), so EOS no
-        longer disables pipelining."""
-        if not self.scfg.overlap_host or self.queue:
+        """Safe to dispatch chunk N+1 before reading chunk N's tokens.
+
+        A queued backlog does NOT disable pipelining: admission needs a
+        retired slot, and the budget checks below already refuse to
+        speculate past any budget-driven retirement — so speculating
+        never delays an admission point except after an EOS surprise,
+        which (like all mid-chunk finishes) just discards its
+        speculative tokens at collect and defers its pages until the
+        in-flight chunk's device work completes (``_retire``).  One
+        chunk of TTFT risk vs a full host round-trip per chunk for the
+        whole backlog phase."""
+        if not self.scfg.overlap_host:
             return False
         cap = self.scfg.max_pages_per_slot * self.scfg.page_size
         for s, req in pending.group:
