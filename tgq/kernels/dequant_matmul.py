@@ -97,6 +97,19 @@ def quantized_matmul(
     """
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # Large-batch (prefill) routing: the kernel's grid re-streams
+        # every weight tile once per 256-token tile (weight blocks
+        # depend on (k, out) only, but k advances fastest), so at t
+        # token tiles the packed weights cross HBM t/256 times.  Past
+        # ~4 tiles the dequantize-once XLA path reads the weights a
+        # single time and runs the matmul at full MXU rate — decode
+        # (t <= a few hundred) stays on the fused kernel where packed
+        # reads are the whole win.
+        t_route = 1
+        for d in x.shape[:-1]:
+            t_route *= d
+        if t_route >= 1024:
+            impl = "xla"
     stacked = layer is not None
     if stacked and impl != "pallas":
         w = jax.tree.map(lambda a: a[layer], w)
