@@ -24,8 +24,10 @@ while keeping every downstream shape static.
 
 Factorizations run on the host in f64 by default (TPUs have no f64; these
 are once-per-layer-group calls on ≤12288² matrices, off the hot path).
-``precision="f32"`` runs eigh/QR on-device instead, with the pivoted QR
-from tgq.solver.pqr.
+``precision="f32"`` moves only the eigh to the device (f32 QDWH); the
+pivoted QR / R build still runs on host f64 either way.  The fully
+on-device production path is tgq.solver.pchol (mode "pchol"), which
+needs no eigendecomposition at all.
 """
 from __future__ import annotations
 
