@@ -49,10 +49,13 @@ def main(argv=None) -> int:
     ap.add_argument("--kv_bits", type=int, default=8, choices=(16, 8, 4))
     ap.add_argument("--lm_head_bits", type=int, default=8, choices=(16, 8))
     ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--skip_components", action="store_true",
+                    help="measure only the composed decode_steps path")
     args = ap.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from tgq.core.quant import QuantSpec
     from tgq.models.causal_lm import apply_linear, lm_logits
@@ -81,6 +84,10 @@ def main(argv=None) -> int:
     lens = jnp.full((slots,), args.context, jnp.int32)
     pos = lens - 1
     results = {}
+
+    if args.skip_components:
+        return _composed_only(args, cfg, params, cache, table, lens, pos,
+                              results)
 
     # ---- fused paged attention x layers ---------------------------------
     from tgq.kernels.paged_attention import paged_decode_attention
@@ -186,12 +193,22 @@ def main(argv=None) -> int:
     results["sampling_ms"] = round(dt * 1e3, 2)
     print(f"[decode_bench] sampling:      {dt*1e3:7.2f} ms/step", flush=True)
 
-    # ---- composed decode step (the real decode_steps path) --------------
-    # slope over the fused-chunk length: decode_steps(n) vs decode_steps(2n)
-    # cancels dispatch+fetch, giving honest ms/step of the production path
-    # (components above are isolation numbers; this is the ground truth)
+    return _composed_only(args, cfg, params, cache, table, lens, pos,
+                          results)
+
+
+def _composed_only(args, cfg, params, cache, table, lens, pos, results):
+    """Composed decode step through the production decode_steps path —
+    slope over the fused-chunk length (decode_steps(n) vs 2n) cancels
+    dispatch+fetch; components are isolation numbers, this is the
+    ground truth."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from tgq.serve.decode import decode_steps
 
+    slots, page = args.slots, args.page_size
     temps_all = jnp.zeros((slots,), jnp.float32)
     toks0 = jnp.ones((slots,), jnp.int32)
     key0 = jax.random.key(0)

@@ -179,11 +179,15 @@ def _kernel_attention_tp(num_kv_heads: int, qs, cache: PagedKVCache, li,
              jnp.asarray(li, jnp.int32), lens, table, k_cur, v_cur)
 
 
-def _rope_at(cos_tab, sin_tab, pos, x):
-    """Apply rotary at per-slot positions.  x: (slots, heads, d); pos: (slots,)."""
+def _rope_at(cos_p, sin_p, x):
+    """Apply rotary with per-slot cos/sin rows.  x: (slots, heads, d);
+    cos_p/sin_p: (slots, d) — gathered from the rope tables ONCE per
+    decode step in ``_decode_core`` (they depend only on ``pos``; doing
+    the (40960, d)-table gather inside every layer cost 2 gathers × 36
+    layers per step)."""
     half = x.shape[-1] // 2
-    cos = cos_tab[pos][:, None, :]  # (slots, 1, d)
-    sin = sin_tab[pos][:, None, :]
+    cos = cos_p[:, None, :]  # (slots, 1, d)
+    sin = sin_p[:, None, :]
     x1, x2 = x[..., :half], x[..., half:]
     rot = jnp.concatenate([-x2, x1], axis=-1)
     return (x.astype(jnp.float32) * cos + rot.astype(jnp.float32) * sin).astype(x.dtype)
@@ -207,7 +211,7 @@ def _gather_attention(cfg: ModelConfig, q, cache, li, table, lens):
 
 
 def _decode_layer(lp, li, cfg: ModelConfig, x, cache: PagedKVCache,
-                  cos_tab, sin_tab, pos, pages, offsets, table, lens,
+                  cos_p, sin_p, pos, pages, offsets, table, lens,
                   attn_impl: str):
     """One decoder layer's decode for all slots.  Returns (x, cache)."""
     slots = x.shape[0]
@@ -226,8 +230,8 @@ def _decode_layer(lp, li, cfg: ModelConfig, x, cache: PagedKVCache,
     if cfg.qk_norm:
         q = rms_norm(q, lp["self_attn"]["q_norm"]["weight"], cfg.rms_norm_eps)
         k = rms_norm(k, lp["self_attn"]["k_norm"]["weight"], cfg.rms_norm_eps)
-    q = _rope_at(cos_tab, sin_tab, pos, q)
-    k = _rope_at(cos_tab, sin_tab, pos, k)
+    q = _rope_at(cos_p, sin_p, q)
+    k = _rope_at(cos_p, sin_p, k)
 
     kv_rows = None
     if attn_impl == "kernel":
@@ -305,6 +309,7 @@ def _decode_core(params, cache: PagedKVCache, cfg: ModelConfig,
     slots = tokens.shape[0]
     x = embed_tokens(params, tokens[:, None])[:, 0]  # (slots, hidden)
     cos_tab, sin_tab = rope_cache(cfg, cfg.max_position_embeddings)
+    cos_p, sin_p = cos_tab[pos], sin_tab[pos]  # (slots, d), once per step
     pages = table[jnp.arange(slots), pos // page]
     offsets = pos % page
 
@@ -313,7 +318,7 @@ def _decode_core(params, cache: PagedKVCache, cfg: ModelConfig,
         rows = []
         for li, lp in enumerate(layers):
             x, cache, kv_rows = _decode_layer(
-                lp, li, cfg, x, cache, cos_tab, sin_tab,
+                lp, li, cfg, x, cache, cos_p, sin_p,
                 pos, pages, offsets, table, lens, attn_impl)
             rows.append(kv_rows)
         if rows and rows[0] is not None:
@@ -330,7 +335,7 @@ def _decode_core(params, cache: PagedKVCache, cfg: ModelConfig,
             x, cache = carry
             lp = _slice_layer(layers, li)
             x, cache, kv_rows = _decode_layer(
-                lp, li, cfg, x, cache, cos_tab, sin_tab,
+                lp, li, cfg, x, cache, cos_p, sin_p,
                 pos, pages, offsets, table, lens, attn_impl)
             return (x, cache), kv_rows
 
