@@ -79,3 +79,36 @@ def test_concat_out_matches_parts(rng):
     assert fused.out_features == 32 and fused.in_features == 64
     np.testing.assert_array_equal(
         np.asarray(fused.dequantize()), np.vstack(deqs))
+
+
+def test_pad_out_head_logits_unchanged():
+    """pad_out lane-pads a packed vocab head; lm_logits slices back so
+    logits (and thus sampling) are unchanged."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from tgq.core.packing import PackedLinear, pad_out
+    from tgq.core.quant import QuantSpec, expand_params, find_params, quantize
+    from tgq.models.causal_lm import lm_logits
+    from tgq.models.config import PRESETS
+
+    cfg = dataclasses.replace(PRESETS["tiny-qwen3"], vocab_size=600,
+                              tie_word_embeddings=False)
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.standard_normal((600, cfg.hidden_size)), jnp.float32)
+    spec = QuantSpec(bits=8, group_size=32, sym=False)
+    p = find_params(w, spec)
+    s, z = expand_params(p, cfg.hidden_size)
+    q = quantize(w, s, z, spec).astype(jnp.int32)
+    head = PackedLinear.from_codes(q, p.scale, p.zero, spec)
+    padded = pad_out(head, 512)
+    assert padded.out_features == 1024
+
+    x = jnp.asarray(rng.standard_normal((3, 1, cfg.hidden_size)),
+                    jnp.bfloat16)
+    want = np.asarray(lm_logits({"lm_head": head}, cfg, x))
+    got = np.asarray(lm_logits({"lm_head": padded}, cfg, x))
+    assert got.shape == want.shape == (3, 1, 600)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

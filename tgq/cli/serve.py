@@ -106,7 +106,12 @@ def _maybe_pack_head(params, args, jnp) -> bool:
     p = find_params(w, spec)
     s, z = expand_params(p, w.shape[1])
     q = quantize(w, s, z, spec).astype(jnp.int32)
-    params["lm_head"] = PackedLinear.from_codes(q, p.scale, p.zero, spec)
+    from tgq.core.packing import pad_out
+
+    # lane-pad the vocab dim (kernel keeps its 512-wide out tile;
+    # lm_logits slices the logits back to cfg.vocab_size)
+    params["lm_head"] = pad_out(
+        PackedLinear.from_codes(q, p.scale, p.zero, spec))
     return True
 
 

@@ -224,3 +224,31 @@ def concat_out(parts: list[PackedLinear]) -> PackedLinear:
         out_features=sum(p.out_features for p in parts),
         bias=bias,
     )
+
+
+def pad_out(p: PackedLinear, multiple: int = 512) -> PackedLinear:
+    """Zero-pad a PackedLinear's out_features (the lane axis) up to a
+    multiple.
+
+    A vocab head like Qwen3's 151936 is not a multiple of 512, which
+    forces the fused dequant-matmul's out-tile down to 128 — a 4×
+    narrower MXU output tile per pass.  Padding at PACK time (never per
+    call — the codes are hundreds of MB) restores the wide tile; the
+    pad columns dequantize to ~0 (zero codes, zero zero-point, floor
+    scale) and callers slice the logits back to the true vocab
+    (tgq.models.causal_lm.lm_logits)."""
+    m = p.out_features
+    m_pad = -(-m // multiple) * multiple
+    if m_pad == m:
+        return p
+    pc = m_pad - m
+    return PackedLinear(
+        codes=jnp.pad(p.codes, ((0, 0), (0, pc))),
+        scale=jnp.pad(p.scale, ((0, 0), (0, pc))),
+        zero=jnp.pad(p.zero, ((0, 0), (0, pc))),
+        bits=p.bits,
+        group_size=p.group_size,
+        in_features=p.in_features,
+        out_features=m_pad,
+        bias=None if p.bias is None else jnp.pad(p.bias, (0, pc)),
+    )

@@ -317,9 +317,16 @@ def lm_logits(params: Params, cfg: ModelConfig, x: jax.Array) -> jax.Array:
         if serving_mesh() is not None:
             # under a mesh, GSPMD cannot partition the pallas call;
             # the XLA dequant path shards canonically (vocab on model)
-            return quantized_matmul(x, head, impl="xla",
-                                    out_dtype=jnp.float32)
-        return quantized_matmul(x, head, out_dtype=jnp.float32)
+            y = quantized_matmul(x, head, impl="xla",
+                                 out_dtype=jnp.float32)
+        else:
+            y = quantized_matmul(x, head, out_dtype=jnp.float32)
+        if head.out_features > cfg.vocab_size:
+            # head packed with lane padding (tgq.core.packing.pad_out —
+            # keeps the kernel's out-tile at 512 for non-512-multiple
+            # vocabs); pad logits are ~0 and must not reach sampling
+            y = y[..., : cfg.vocab_size]
+        return y
     else:
         w = linear_weight(params["lm_head"])
     return (x.astype(jnp.float32) @ w.T.astype(jnp.float32))

@@ -365,9 +365,13 @@ def init_packed_params(cfg: ModelConfig, spec, seed: int = 0,
                 q = quantize(w, s, z, head_spec).astype(jnp.int32)
                 return PackedLinear.from_codes(q, p.scale, p.zero, head_spec)
 
-            params["lm_head"] = packed_head(
+            from tgq.core.packing import pad_out
+
+            # lane-pad the vocab dim so the fused kernel keeps its wide
+            # out tile (151936 is not a 512 multiple); lm_logits slices
+            params["lm_head"] = pad_out(packed_head(
                 jax.random.fold_in(root, kidx), cfg.vocab_size,
-                cfg.hidden_size)
+                cfg.hidden_size))
         else:
             params["lm_head"] = {"w": dense(jax.random.fold_in(root, kidx),
                                             cfg.vocab_size, cfg.hidden_size,
