@@ -58,11 +58,16 @@ def _unpack_tile_kmajor(pg: jax.Array, bits: int, group_size: int):
     return q.astype(jnp.float32)  # (ng, g, TO)
 
 
-def _dequant_matmul_kernel(x_ref, codes_ref, scale_ref, zero_ref, o_ref, *,
-                           bits: int, group_size: int, k_tile: int):
+def _dequant_matmul_kernel(x_ref, codes_ref, scale_ref, zero_ref, o_ref,
+                           acc_ref, *, bits: int, group_size: int,
+                           k_tile: int, n_k: int):
+    """Accumulates k-tiles in a VMEM f32 scratch and writes ``o_ref``
+    (any dtype) once on the last k step — emitting bf16 directly halves
+    the output HBM traffic and removes the separate cast op the f32
+    out_shape used to require."""
     @pl.when(pl.program_id(2) == 0)
     def _():
-        o_ref[:] = jnp.zeros_like(o_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
 
     q = _unpack_tile_kmajor(codes_ref[:], bits, group_size)  # (ng, g, TO)
     ng, g, to = q.shape
@@ -70,9 +75,13 @@ def _dequant_matmul_kernel(x_ref, codes_ref, scale_ref, zero_ref, o_ref, *,
     z = zero_ref[:].reshape(ng, 1, to)
     w = ((q - z) * s).reshape(k_tile, to)
     x = x_ref[:].astype(jnp.float32)                          # (TT, KT)
-    o_ref[:] += jax.lax.dot_general(
+    acc_ref[:] += jax.lax.dot_general(
         x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )
+
+    @pl.when(pl.program_id(2) == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
 def quantized_matmul(
@@ -171,8 +180,17 @@ def quantized_matmul(
 
     ng_tile = k_tile // g
     kernel = functools.partial(
-        _dequant_matmul_kernel, bits=w.bits, group_size=g, k_tile=k_tile
+        _dequant_matmul_kernel, bits=w.bits, group_size=g, k_tile=k_tile,
+        n_k=grid[2],
     )
+    # emit the output in the requested dtype straight from the VMEM
+    # accumulator (halves output HBM traffic for bf16 consumers); keep
+    # f32 when a bias is added afterwards so its addition precision is
+    # unchanged
+    y_dtype = (jnp.float32 if (bias_of(w) is not None
+                               or out_dtype == jnp.float32)
+               else jnp.dtype(out_dtype))
+    scratch = [pltpu.VMEM((tt, to), jnp.float32)]
     if stacked:
         def skernel(layer_ref, *refs):
             return kernel(*refs)
@@ -192,8 +210,9 @@ def quantized_matmul(
                 ],
                 out_specs=pl.BlockSpec((tt, to), lambda i, j, k, L: (j, i)),
                 grid=grid,
+                scratch_shapes=scratch,
             ),
-            out_shape=jax.ShapeDtypeStruct((t_pad, m), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((t_pad, m), y_dtype),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary"),
             ),
@@ -216,7 +235,8 @@ def quantized_matmul(
         ],
         out_specs=pl.BlockSpec((tt, to), lambda i, j, k: (j, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t_pad, m), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t_pad, m), y_dtype),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
