@@ -428,3 +428,109 @@ def test_kernel_tp_sharded_matches_single_device(int8):
         jnp.asarray(table), jnp.asarray(kcur), jnp.asarray(vcur),
         mesh), np.float32)
     np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+
+
+@pytest.mark.parametrize("int8", [False, True])
+def test_kernel_chunk_window_matches_oracle(int8):
+    """Kernel with pools + chunk window + current-token registers ==
+    oracle over the full token set (the decode_steps chunk-window
+    layout: pools [0, len-1-w), window rows w, current in registers)."""
+    from tgq.kernels.paged_attention import paged_decode_attention
+
+    rng = np.random.default_rng(11)
+    L2, W, wpad, wl = 2, 4, 128, 3
+    lens = np.array([9, 0, 16, 33, 64, 4], np.int32)
+    q = rng.standard_normal((B, H, D)).astype(np.float32) * 0.3
+    table = rng.permutation(P - 1)[: B * MPPS].reshape(B, MPPS).astype(
+        np.int32) + 1
+    li = 1
+
+    # full per-slot token values (dequantized ground truth)
+    if int8:
+        kpool_i = rng.integers(-127, 128, (L2, P, PG, FUSED)).astype(np.int8)
+        vpool_i = rng.integers(-127, 128, (L2, P, PG, FUSED)).astype(np.int8)
+        spad = 128
+        ks = np.zeros((L2, P, KVH, spad), np.float32)
+        vs = np.zeros((L2, P, KVH, spad), np.float32)
+        ks[..., :PG] = rng.random((L2, P, KVH, PG)) * 0.02 + 0.001
+        vs[..., :PG] = rng.random((L2, P, KVH, PG)) * 0.02 + 0.001
+        kf = (kpool_i.reshape(L2, P, PG, KVH, D).astype(np.float32)
+              * ks[..., :PG].transpose(0, 1, 3, 2)[..., None])
+        vf = (vpool_i.reshape(L2, P, PG, KVH, D).astype(np.float32)
+              * vs[..., :PG].transpose(0, 1, 3, 2)[..., None])
+        wk_i = rng.integers(-127, 128, (L2, B, W, FUSED)).astype(np.int8)
+        wv_i = rng.integers(-127, 128, (L2, B, W, FUSED)).astype(np.int8)
+        wks = np.zeros((L2, B, KVH, wpad), np.float32)
+        wvs = np.zeros((L2, B, KVH, wpad), np.float32)
+        wks[..., :W] = rng.random((L2, B, KVH, W)) * 0.02 + 0.001
+        wvs[..., :W] = rng.random((L2, B, KVH, W)) * 0.02 + 0.001
+        wkf = (wk_i.reshape(L2, B, W, KVH, D).astype(np.float32)
+               * wks[..., :W].transpose(0, 1, 3, 2)[..., None])
+        wvf = (wv_i.reshape(L2, B, W, KVH, D).astype(np.float32)
+               * wvs[..., :W].transpose(0, 1, 3, 2)[..., None])
+        pools = (jnp.asarray(kpool_i), jnp.asarray(vpool_i),
+                 jnp.asarray(ks), jnp.asarray(vs))
+        win = (jnp.asarray(wk_i), jnp.asarray(wks),
+               jnp.asarray(wv_i), jnp.asarray(wvs))
+    else:
+        kf = (rng.standard_normal((L2, P, PG, KVH, D)) * 0.5).astype(
+            np.float32)
+        vf = (rng.standard_normal((L2, P, PG, KVH, D)) * 0.5).astype(
+            np.float32)
+        wkf = (rng.standard_normal((L2, B, W, KVH, D)) * 0.5).astype(
+            np.float32)
+        wvf = (rng.standard_normal((L2, B, W, KVH, D)) * 0.5).astype(
+            np.float32)
+        pools = (jnp.asarray(kf.reshape(L2, P, PG, FUSED), jnp.bfloat16),
+                 jnp.asarray(vf.reshape(L2, P, PG, FUSED), jnp.bfloat16),
+                 None, None)
+        win = (jnp.asarray(wkf.reshape(L2, B, W, FUSED), jnp.bfloat16),
+               None,
+               jnp.asarray(wvf.reshape(L2, B, W, FUSED), jnp.bfloat16),
+               None)
+        # oracle must see the bf16-rounded stored values
+        kf = np.asarray(jnp.asarray(kf, jnp.bfloat16), np.float32)
+        vf = np.asarray(jnp.asarray(vf, jnp.bfloat16), np.float32)
+        wkf = np.asarray(jnp.asarray(wkf, jnp.bfloat16), np.float32)
+        wvf = np.asarray(jnp.asarray(wvf, jnp.bfloat16), np.float32)
+
+    kcur = (rng.standard_normal((B, FUSED)) * 0.5).astype(np.float32)
+    vcur = (rng.standard_normal((B, FUSED)) * 0.5).astype(np.float32)
+
+    # oracle: per slot, tokens = pools[0:ln-1-wl] ++ window[0:wl] ++ cur
+    out_ref = np.zeros((B, H, D), np.float32)
+    g = H // KVH
+    for b in range(B):
+        ln = int(lens[b])
+        if ln == 0:
+            continue
+        npool = max(ln - 1 - wl, 0)
+        pool_k = np.concatenate(
+            [kf[li, table[b, i]] for i in range(MPPS)], axis=0)[:npool]
+        pool_v = np.concatenate(
+            [vf[li, table[b, i]] for i in range(MPPS)], axis=0)[:npool]
+        ks_all = np.concatenate(
+            [pool_k, wkf[li, b, :wl],
+             kcur[b].reshape(1, KVH, D)], axis=0)
+        vs_all = np.concatenate(
+            [pool_v, wvf[li, b, :wl],
+             vcur[b].reshape(1, KVH, D)], axis=0)
+        for h in range(H):
+            kh = h // g
+            logits = ks_all[:, kh] @ q[b, h]
+            pr = np.exp(logits - logits.max())
+            pr /= pr.sum()
+            out_ref[b, h] = pr @ vs_all[:, kh]
+
+    got = np.asarray(paged_decode_attention(
+        jnp.asarray(q), pools[0], pools[1], pools[2], pools[3],
+        jnp.int32(li), jnp.asarray(lens), jnp.asarray(table),
+        jnp.asarray(kcur), jnp.asarray(vcur),
+        window=win, w_live=jnp.int32(wl),
+        num_kv_heads=KVH), np.float32)
+    live = lens > 0
+    rel = (np.linalg.norm((got - out_ref)[live])
+           / np.linalg.norm(out_ref[live]))
+    assert np.isfinite(got[live]).all()
+    assert rel < 2e-2, (int8, rel)
+    assert np.all(got[~live] == 0)

@@ -78,8 +78,9 @@ class _BlockCopy:
 
 
 def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
-            init_flag_ref, next_live_ref,
-            q_ref, k_ref, ks_ref, v_ref, vs_ref, kc_ref, vc_ref,
+            init_flag_ref, next_live_ref, w_live_ref,
+            q_ref, k_ref, ks_ref, v_ref, vs_ref,
+            wk_ref, wks_ref, wv_ref, wvs_ref, kc_ref, vc_ref,
             o_ref,
             k_vmem, ks_vmem, v_vmem, vs_vmem, k_sems, v_sems, *,
             batch_size: int, pages_per_sequence: int, num_kv_heads: int,
@@ -96,16 +97,24 @@ def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
     num_q_heads = q_ref.shape[0]
     group = num_q_heads // num_kv_heads
     quantized = ks_ref is not None
-    # current-token K/V arrive as registers (deferred pool writes): the
-    # pools then hold only tokens [0, length-1); the last position is
-    # folded into the softmax inline after the page loop
+    # current-token K/V arrive as registers (deferred pool writes); a
+    # chunk WINDOW (wk/wv, quantized like the pools) may hold the
+    # w_live most recent tokens before that — the pools then cover only
+    # [0, length - 1 - w_live).  Both tails fold into the softmax
+    # inline after the page loop, which is what lets decode_steps keep
+    # the multi-GB pools scan-invariant (one flush per chunk instead of
+    # a per-step scatter that forces XLA to copy custom-call operands).
     has_current = kc_ref is not None
+    has_window = wk_ref is not None
+    w_live = w_live_ref[0] if has_window else 0
 
     o_ref[...] = jnp.zeros_like(o_ref)
 
     def pool_len_of(bb):
         ln = lengths_ref[bb]
-        return jnp.maximum(ln - 1, 0) if has_current else ln
+        tail = (1 if has_current else 0) + w_live
+        return jnp.maximum(ln - tail, 0) if (has_current or has_window) \
+            else ln
 
     def n_blocks_of(bb):
         return lax.div(pool_len_of(bb) + block - 1, block)
@@ -229,6 +238,45 @@ def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
     m_fin, l_fin, acc = lax.fori_loop(0, n_blocks_of(b), block_body,
                                       (m0, l0, acc0))
 
+    if has_window:
+        # fold the chunk window in as one masked online-softmax block:
+        # rows [0, w_live) are this chunk's already-decoded tokens,
+        # quantized exactly like the pools (same absmax scales, applied
+        # in the logit domain)
+        wk = _unpack(wk_ref[...])                # (W, fused) f32
+        wv = _unpack(wv_ref[...])
+        W = wk.shape[0]
+        qk_w = jax.lax.dot_general(qd, wk, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        if quantized:
+            # (kvh, Wpad) scales → (H, W): repeat each head's row group×
+            rows = jnp.concatenate(
+                [wks_ref[g:g + 1, :W]
+                 for g in range(num_kv_heads) for _ in range(group)],
+                axis=0)
+            qk_w = qk_w * rows
+        if attn_logits_soft_cap is not None:
+            qk_w = jnp.tanh(qk_w / attn_logits_soft_cap) \
+                * attn_logits_soft_cap
+        wcol = lax.broadcasted_iota(jnp.int32, qk_w.shape, 1)
+        qk_w = qk_w + jnp.where(wcol < w_live, 0.0, mask_value)
+        m_curr = qk_w.max(axis=-1)[:, None]
+        m_next = jnp.maximum(m_fin, m_curr)
+        alpha = jnp.exp(m_fin - m_next)
+        p_w = jnp.exp(qk_w - m_next)
+        if quantized:
+            p_v = p_w * jnp.concatenate(
+                [wvs_ref[g:g + 1, :W]
+                 for g in range(num_kv_heads) for _ in range(group)],
+                axis=0)
+        else:
+            p_v = p_w
+        l_fin = l_fin * alpha + p_w.sum(axis=-1)[:, None]
+        acc = acc * alpha + jax.lax.dot_general(
+            p_v, wv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_fin = m_next
+
     if has_current:
         # fold the current token in from registers — one online-softmax
         # step with a length-1 block (exact; never quantized)
@@ -272,6 +320,8 @@ def paged_decode_attention(
     page_indices: jax.Array,
     k_current: jax.Array | None = None,
     v_current: jax.Array | None = None,
+    window: tuple | None = None,
+    w_live: jax.Array | None = None,
     *,
     num_kv_heads: int,
     mask_value: float = DEFAULT_MASK_VALUE,
@@ -296,6 +346,13 @@ def paged_decode_attention(
         and the pools are only read for tokens [0, length-1): the layer
         scan can then defer all pool writes to one batched scatter per
         decode step (tgq.serve.kv_cache.kv_write_token_all).
+      window/w_live: chunk window (tgq.serve.kv_cache.ChunkWindow
+        arrays (wk, wks, wv, wvs), layer-stacked, same quantized format
+        as the pools) holding this chunk's last ``w_live`` decoded
+        tokens; the pools then cover only [0, length - 1 - w_live).
+        Lets decode_steps keep the pools scan-invariant — measured
+        ~9 ms/step at 128 slots was XLA copying the pools every step
+        because they were custom-call operands AND scatter targets.
 
     Returns (batch, num_q_heads, head_dim) in q.dtype.
     """
@@ -323,7 +380,11 @@ def paged_decode_attention(
     # pools cover [0, len-1), so a 1-token slot has no pool work),
     # batch_size when none — O(batch log batch) once here vs an O(batch)
     # scalar scan per block inside the kernel
-    pool_lens = lengths - 1 if has_current else lengths
+    has_window = window is not None
+    tail = (1 if has_current else 0)
+    if has_window:
+        tail = tail + w_live
+    pool_lens = lengths - tail
     slot_ids = jnp.arange(batch, dtype=jnp.int32)
     vals = jnp.where(pool_lens > 0, slot_ids, batch)
     suffix_min = lax.associative_scan(jnp.minimum, vals, reverse=True)
@@ -332,6 +393,18 @@ def paged_decode_attention(
     io_spec = pl.BlockSpec((None, num_q_heads, head_dim),
                            lambda b, *_: (b, 0, 0))
     cur_spec = pl.BlockSpec((None, 1, fused), lambda b, *_: (b, 0, 0))
+    if has_window:
+        wk_a, wks_a, wv_a, wvs_a = window
+        W = wk_a.shape[2]
+        wpad = None if wks_a is None else wks_a.shape[-1]
+        # per-slot window blocks, layer-indexed through scalar prefetch
+        # (operand 2 of the prefetch tuple is the layer scalar)
+        win_spec = pl.BlockSpec(
+            (None, None, W, fused_stored),
+            lambda b, lens, pi, layer, bi, init, nl, wl: (layer[0], b, 0, 0))
+        wscale_spec = (None if wpad is None else pl.BlockSpec(
+            (None, None, num_kv_heads, wpad),
+            lambda b, lens, pi, layer, bi, init, nl, wl: (layer[0], b, 0, 0)))
     kv_buf = pltpu.VMEM((2, ppb * page_size, fused_stored), k_pages.dtype)
     scale_buf = (pltpu.VMEM((2, ppb, num_kv_heads, spad), jnp.float32)
                  if quantized else None)
@@ -350,14 +423,18 @@ def paged_decode_attention(
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             # lengths, page_indices, layer, buffer_index, init_flag,
-            # next_live
-            num_scalar_prefetch=6,
+            # next_live, w_live
+            num_scalar_prefetch=7,
             in_specs=[
                 io_spec,
                 any_spec,
                 any_spec if quantized else None,
                 any_spec,
                 any_spec if quantized else None,
+                win_spec if has_window else None,
+                (wscale_spec if quantized else None) if has_window else None,
+                win_spec if has_window else None,
+                (wscale_spec if quantized else None) if has_window else None,
                 cur_spec if has_current else None,
                 cur_spec if has_current else None,
             ],
@@ -380,11 +457,17 @@ def paged_decode_attention(
         jnp.zeros((1,), jnp.int32),
         jnp.ones((1,), jnp.int32),
         next_live.astype(jnp.int32),
+        (jnp.asarray(w_live, jnp.int32).reshape(1) if has_window
+         else jnp.zeros((1,), jnp.int32)),
         q.astype(jnp.float32),
         k_pages,
         k_scales if quantized else None,
         v_pages,
         v_scales if quantized else None,
+        wk_a if has_window else None,
+        (wks_a if quantized else None) if has_window else None,
+        wv_a if has_window else None,
+        (wvs_a if quantized else None) if has_window else None,
         (k_current.astype(jnp.float32).reshape(batch, 1, fused)
          if has_current else None),
         (v_current.astype(jnp.float32).reshape(batch, 1, fused)

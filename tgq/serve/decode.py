@@ -136,7 +136,8 @@ def default_attn_impl(mesh=None, cfg=None, kv_bits: int = 16) -> str:
 
 
 def _kernel_attention_tp(num_kv_heads: int, qs, cache: PagedKVCache, li,
-                         lens, table, k_cur, v_cur, mesh):
+                         lens, table, k_cur, v_cur, mesh,
+                         win=None, w_live=None):
     """Fused paged attention under a TP mesh: shard_map over "model".
 
     The pools are head-sharded (kv_cache sharding in Engine.__init__)
@@ -155,6 +156,8 @@ def _kernel_attention_tp(num_kv_heads: int, qs, cache: PagedKVCache, li,
     kvh_local = num_kv_heads // tp
     opt = lambda a, spec: None if a is None else spec  # noqa: E731
 
+    has_win = win is not None
+    wk, wks, wv, wvs = win if has_win else (None, None, None, None)
     in_specs = (
         P(None, "model", None),                       # q (slots, H, d)
         P(None, None, None, "model"),                 # k pools
@@ -166,17 +169,25 @@ def _kernel_attention_tp(num_kv_heads: int, qs, cache: PagedKVCache, li,
         P(),                                          # page table
         opt(k_cur, P(None, "model")),                 # current-token K
         opt(v_cur, P(None, "model")),                 # current-token V
+        opt(wk, P(None, None, None, "model")),        # window K codes
+        opt(wks, P(None, None, "model", None)),       # window K scales
+        opt(wv, P(None, None, None, "model")),        # window V codes
+        opt(wvs, P(None, None, "model", None)),       # window V scales
+        opt(w_live, P()),                             # window live count
     )
 
     @partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
              out_specs=P(None, "model", None), check_vma=False)
-    def f(q, k, v, ks, vs, li, lens, table, kc, vc):
+    def f(q, k, v, ks, vs, li, lens, table, kc, vc, wk, wks, wv, wvs, wl):
         return paged_decode_attention(
             q, k, v, ks, vs, li, lens, table, kc, vc,
-            num_kv_heads=kvh_local)
+            window=None if wk is None else (wk, wks, wv, wvs),
+            w_live=wl, num_kv_heads=kvh_local)
 
     return f(qs, cache.k, cache.v, cache.ks, cache.vs,
-             jnp.asarray(li, jnp.int32), lens, table, k_cur, v_cur)
+             jnp.asarray(li, jnp.int32), lens, table, k_cur, v_cur,
+             wk, wks, wv, wvs,
+             None if w_live is None else jnp.asarray(w_live, jnp.int32))
 
 
 def _rope_at(cos_p, sin_p, x):
@@ -210,10 +221,69 @@ def _gather_attention(cfg: ModelConfig, q, cache, li, table, lens):
                       ).reshape(slots, cfg.num_heads, cfg.head_dim)
 
 
+def _window_rows(cache: PagedKVCache, win, li, which: int, dtype):
+    """Dequantize layer ``li`` of a chunk window: (slots, W, kvh, d),
+    with the pool eq multiplied back — same value the pools would
+    return after the flush."""
+    from tgq.serve.kv_cache import kv_unpack4
+
+    arr = win[2 * which]          # codes  (L, slots, W, stored)
+    sc = win[2 * which + 1]       # scales (L, slots, kvh, wpad) | None
+    eq = cache.v_eq if which else cache.k_eq
+    kvh, d = cache.num_kv_heads, cache.head_dim
+    w = arr[li]
+    if cache.kv_bits == 4:
+        w = kv_unpack4(w, dtype)
+    slots, W = w.shape[0], w.shape[1]
+    w = w.reshape(slots, W, kvh, d).astype(dtype)
+    if sc is not None:
+        s = jnp.swapaxes(sc[li][:, :, :W], 1, 2)  # (slots, W, kvh)
+        w = w * s[..., None].astype(dtype)
+        if eq is not None:
+            w = w * eq[li].reshape(kvh, d).astype(dtype)
+    return w
+
+
+def _gather_attention_window(cfg: ModelConfig, q, cache, li, table, lens,
+                             win, w_live, k_cur, v_cur):
+    """Gather fallback for chunk-window decoding: pools (read-only,
+    tokens [0, lens-1-w_live)) + window (w_live quantized rows) + the
+    exact current-token row.  Same values as kernel-path attention."""
+    slots = q.shape[0]
+    kvh, d = cfg.num_kv_heads, cfg.head_dim
+    kg, vg = kv_gather(cache, li, table)          # (slots, T, kvh, d)
+    kw = _window_rows(cache, win, li, 0, kg.dtype)
+    vw = _window_rows(cache, win, li, 1, vg.dtype)
+    # k_cur/v_cur are the RAW current-token rows (no eq division)
+    kc = k_cur.reshape(slots, 1, kvh, d).astype(kg.dtype)
+    vc = v_cur.reshape(slots, 1, kvh, d).astype(vg.dtype)
+    T = kg.shape[1]
+    W = kw.shape[1]
+    k_all = jnp.concatenate([kg, kw, kc], axis=1)
+    v_all = jnp.concatenate([vg, vw, vc], axis=1)
+    t_ids = jnp.arange(T + W + 1)[None, :]
+    pool_len = (lens - 1 - w_live)[:, None]
+    valid = jnp.where(
+        t_ids < T, t_ids < pool_len,
+        jnp.where(t_ids < T + W, (t_ids - T) < w_live, True))
+    rep = cfg.num_heads // kvh
+    qg = q.reshape(slots, kvh, rep, d)
+    scale = 1.0 / jnp.sqrt(jnp.float32(d))
+    logits = jnp.einsum("skgd,stkd->skgt", qg.astype(k_all.dtype), k_all,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(
+        jnp.where(valid[:, None, None, :], logits, -1e30), axis=-1)
+    return jnp.einsum("skgt,stkd->skgd", probs.astype(v_all.dtype), v_all,
+                      preferred_element_type=jnp.float32
+                      ).reshape(slots, cfg.num_heads, d)
+
+
 def _decode_layer(lp, li, cfg: ModelConfig, x, cache: PagedKVCache,
                   cos_p, sin_p, pos, pages, offsets, table, lens,
-                  attn_impl: str):
-    """One decoder layer's decode for all slots.  Returns (x, cache)."""
+                  attn_impl: str, win=None, w_live=None):
+    """One decoder layer's decode for all slots.  Returns (x, cache,
+    kv_rows).  With ``win``/``w_live`` (chunk-window mode) the pools are
+    never written here — rows flow back for the window write."""
     slots = x.shape[0]
     h = rms_norm(x, lp["input_layernorm"]["weight"], cfg.rms_norm_eps)
     if "qkv_proj" in lp["self_attn"]:
@@ -238,8 +308,10 @@ def _decode_layer(lp, li, cfg: ModelConfig, x, cache: PagedKVCache,
         from tgq.kernels.paged_attention import paged_decode_attention
 
         # deferred pool writes: the kernel folds the current token in
-        # from registers; the caller scatters all layers' rows at once
-        # (kv_write_token_all, which applies the channel equalizers)
+        # from registers (and, in chunk-window mode, this chunk's
+        # previous tokens from the window); the caller either scatters
+        # all layers' rows at once (kv_write_token_all) or writes them
+        # into the window (window_write_step + one flush per chunk)
         kv_rows = (k.reshape(slots, -1).astype(jnp.float32),
                    v.reshape(slots, -1).astype(jnp.float32))
         scale = 1.0 / jnp.sqrt(jnp.float32(cfg.head_dim))
@@ -261,18 +333,26 @@ def _decode_layer(lp, li, cfg: ModelConfig, x, cache: PagedKVCache,
         mesh = serving_mesh()
         if mesh is not None and mesh.shape.get("model", 1) > 1:
             attn = _kernel_attention_tp(cfg.num_kv_heads, qs, cache, li,
-                                        lens, table, k_cur, v_cur, mesh)
+                                        lens, table, k_cur, v_cur, mesh,
+                                        win=win, w_live=w_live)
         else:
             attn = paged_decode_attention(
                 qs, cache.k, cache.v,
                 cache.ks, cache.vs, li, lens, table,
                 k_cur, v_cur,
+                window=win, w_live=w_live,
                 num_kv_heads=cfg.num_kv_heads)
         if cache.v_eq is not None:
             # stored rows are V/eq ⇒ the weighted sum scales back per channel
             attn = (attn.reshape(slots, cfg.num_kv_heads, rep, cfg.head_dim)
                     * cache.v_eq[li].reshape(cfg.num_kv_heads, 1, cfg.head_dim)
                     ).reshape(slots, cfg.num_heads, cfg.head_dim)
+    elif win is not None:
+        kv_rows = (k.reshape(slots, -1).astype(jnp.float32),
+                   v.reshape(slots, -1).astype(jnp.float32))
+        attn = _gather_attention_window(
+            cfg, q, cache, li, table, lens, win, w_live,
+            kv_rows[0], kv_rows[1]).astype(jnp.float32)
     else:
         cache = kv_write_token(cache, li, pages, offsets, k, v)
         attn = _gather_attention(cfg, q, cache, li, table, lens)
@@ -293,12 +373,19 @@ def _decode_layer(lp, li, cfg: ModelConfig, x, cache: PagedKVCache,
 
 
 def _decode_core(params, cache: PagedKVCache, cfg: ModelConfig,
-                 table, lens, tokens, pos, attn_impl: str):
+                 table, lens, tokens, pos, attn_impl: str,
+                 win=None, w_live=None):
     """One token for every slot.
 
     table: (slots, mpps) int32; lens: (slots,) lengths *including* the
     token being decoded; tokens: (slots,) current input token; pos:
-    (slots,) its position (= lens - 1).  Returns (logits, cache).
+    (slots,) its position (= lens - 1).  Returns (logits, cache, rows).
+
+    With ``win``/``w_live`` (chunk-window mode, decode_steps) the pools
+    are NEVER written here — the raw K/V rows return to the caller for
+    the window write, and the pools stay scan-invariant so XLA never
+    copies them (they are attention-kernel operands).  Without a
+    window, rows are scattered here per step (decode_step's path).
 
     Stacked layer params (see ``stack_layer_params``) run as one
     ``lax.scan`` over (layer params, layer index) — one traced layer
@@ -314,20 +401,24 @@ def _decode_core(params, cache: PagedKVCache, cfg: ModelConfig,
     offsets = pos % page
 
     layers = params["model"]["layers"]
+    out_rows = None
     if isinstance(layers, list):
         rows = []
         for li, lp in enumerate(layers):
             x, cache, kv_rows = _decode_layer(
                 lp, li, cfg, x, cache, cos_p, sin_p,
-                pos, pages, offsets, table, lens, attn_impl)
+                pos, pages, offsets, table, lens, attn_impl,
+                win=win, w_live=w_live)
             rows.append(kv_rows)
         if rows and rows[0] is not None:
-            cache = kv_write_token_all(
-                cache, pages, offsets,
-                jnp.stack([r[0] for r in rows]).reshape(
-                    len(rows), slots, cfg.num_kv_heads, cfg.head_dim),
-                jnp.stack([r[1] for r in rows]).reshape(
-                    len(rows), slots, cfg.num_kv_heads, cfg.head_dim))
+            ka = jnp.stack([r[0] for r in rows]).reshape(
+                len(rows), slots, cfg.num_kv_heads, cfg.head_dim)
+            va = jnp.stack([r[1] for r in rows]).reshape(
+                len(rows), slots, cfg.num_kv_heads, cfg.head_dim)
+            if win is None:
+                cache = kv_write_token_all(cache, pages, offsets, ka, va)
+            else:
+                out_rows = (ka, va)
     else:
         n_layers = jax.tree.leaves(layers)[0].shape[0]
 
@@ -336,23 +427,26 @@ def _decode_core(params, cache: PagedKVCache, cfg: ModelConfig,
             lp = _slice_layer(layers, li)
             x, cache, kv_rows = _decode_layer(
                 lp, li, cfg, x, cache, cos_p, sin_p,
-                pos, pages, offsets, table, lens, attn_impl)
+                pos, pages, offsets, table, lens, attn_impl,
+                win=win, w_live=w_live)
             return (x, cache), kv_rows
 
         (x, cache), rows = jax.lax.scan(
             body, (x, cache), jnp.arange(n_layers))
         if rows is not None:
-            # one batched scatter for all layers' current-token K/V
-            cache = kv_write_token_all(
-                cache, pages, offsets,
-                rows[0].reshape(n_layers, slots, cfg.num_kv_heads,
-                                cfg.head_dim),
-                rows[1].reshape(n_layers, slots, cfg.num_kv_heads,
-                                cfg.head_dim))
+            ka = rows[0].reshape(n_layers, slots, cfg.num_kv_heads,
+                                 cfg.head_dim)
+            va = rows[1].reshape(n_layers, slots, cfg.num_kv_heads,
+                                 cfg.head_dim)
+            if win is None:
+                # one batched scatter for all layers' current-token K/V
+                cache = kv_write_token_all(cache, pages, offsets, ka, va)
+            else:
+                out_rows = (ka, va)
 
     x = apply_final_norm(params, cfg, x[:, None])[:, 0]
     logits = lm_logits(params, cfg, x[:, None])[:, 0]
-    return logits, cache
+    return logits, cache, out_rows
 
 
 @partial(jax.jit, static_argnames=("cfg", "attn_impl", "mesh"),
@@ -366,8 +460,9 @@ def decode_step(params, cache: PagedKVCache, cfg: ModelConfig,
     from tgq.parallel.mesh import serving_mesh_scope
 
     with serving_mesh_scope(mesh):
-        return _decode_core(params, cache, cfg, table, lens, tokens, pos,
-                            attn_impl)
+        logits, cache, _ = _decode_core(params, cache, cfg, table, lens,
+                                        tokens, pos, attn_impl)
+    return logits, cache
 
 
 def _sample_tokens(logits, temps, key, greedy_only: bool = False):
@@ -410,17 +505,47 @@ def decode_steps(params, cache: PagedKVCache, cfg: ModelConfig,
     each scanned step.  Returns (tokens (n_steps, slots), cache, key).
     """
     from tgq.parallel.mesh import serving_mesh_scope
+    from tgq.serve.kv_cache import (window_flush, window_init,
+                                    window_write_step)
+
+    if n_steps == 1:
+        # a 1-step chunk is the plain step: current-token registers
+        # cover it, no window needed
+        def step1(carry, _):
+            cache, tok, lens, pos, key = carry
+            logits, cache, _ = _decode_core(params, cache, cfg, table,
+                                            lens, tok, pos, attn_impl)
+            tok, key = _sample_tokens(logits, temps, key, greedy_only)
+            return (cache, tok, lens + 1, pos + 1, key), tok
+
+        with serving_mesh_scope(mesh):
+            (cache, _, _, _, key), toks = jax.lax.scan(
+                step1, (cache, tokens, lens, pos, key), None, length=1)
+        return toks, cache, key
+
+    # chunk-window mode: the pools are SCAN-INVARIANT — per-step rows
+    # land in a small window (same quantized format) that the attention
+    # reads alongside the pools, and ONE flush scatter runs after the
+    # scan.  The per-step scatter forced XLA to copy the pools every
+    # step (custom-call operand + scatter target): ~9 ms/step at 128
+    # slots, the single largest decode cost after the weight reads.
+    pos0 = pos
 
     def step(carry, _):
-        cache, tok, lens, pos, key = carry
-        logits, cache = _decode_core(params, cache, cfg, table, lens, tok,
-                                     pos, attn_impl)
+        win, tok, lens, pos, key, i = carry
+        logits, _, rows = _decode_core(params, cache, cfg, table, lens,
+                                       tok, pos, attn_impl,
+                                       win=win, w_live=i)
+        win = window_write_step(win, i, cache, rows[0], rows[1])
         tok, key = _sample_tokens(logits, temps, key, greedy_only)
-        return (cache, tok, lens + 1, pos + 1, key), tok
+        return (win, tok, lens + 1, pos + 1, key, i + 1), tok
 
     with serving_mesh_scope(mesh):
-        (cache, _, _, _, key), toks = jax.lax.scan(
-            step, (cache, tokens, lens, pos, key), None, length=n_steps)
+        win = window_init(cache, tokens.shape[0], n_steps)
+        (win, _, _, _, key, _), toks = jax.lax.scan(
+            step, (win, tokens, lens, pos, key, jnp.int32(0)),
+            None, length=n_steps)
+        cache = window_flush(cache, win, table, pos0, n_steps)
     return toks, cache, key
 
 

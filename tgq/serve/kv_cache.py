@@ -459,3 +459,100 @@ def kv_gather(cache: PagedKVCache, layer, table: jax.Array,
         if cache.v_eq is not None:
             vg = vg * cache.v_eq[layer].reshape(kvh, d).astype(dtype)
     return kg, vg
+
+
+# ----------------------------------------------------- chunk window
+#
+# decode_steps keeps the multi-GB page pools SCAN-INVARIANT: per-step
+# K/V rows land in this small layer-stacked window (same quantized
+# format as the pools — same absmax scales, same nibble packing) and
+# flush to the pools with ONE scatter per chunk.  Measured at 128
+# slots, the per-step scatter cost ~9 ms/step — not the scatter itself
+# (a scatter into pools the kernels don't read is ~1 ms) but XLA
+# copying the pools every step because they were simultaneously
+# custom-call (attention kernel) operands and scatter targets.
+
+
+def window_init(cache: PagedKVCache, slots: int, w: int):
+    """(wk, wks, wv, wvs) zeros: codes (L, slots, w, stored_fused) in
+    the pool dtype; scales (L, slots, kvh, wpad) f32 (lane-padded like
+    the pool scales).  wks/wvs are None for bf16 pools."""
+    L = cache.k.shape[0]
+    stored = cache.k.shape[-1]
+    wk = jnp.zeros((L, slots, w, stored), cache.k.dtype)
+    wv = jnp.zeros((L, slots, w, stored), cache.v.dtype)
+    if cache.ks is None:
+        return (wk, None, wv, None)
+    # scales (L, slots, kvh, wpad) — matches the kernel's per-slot
+    # (kvh, wpad) block
+    wpad = scale_pad(w)
+    kvh = cache.ks.shape[2]
+    return (wk, jnp.zeros((L, slots, kvh, wpad), jnp.float32),
+            wv, jnp.zeros((L, slots, kvh, wpad), jnp.float32))
+
+
+def window_write_step(win, i, cache: PagedKVCache, k_all: jax.Array,
+                      v_all: jax.Array):
+    """Quantize one step's rows for ALL layers into window column ``i``.
+
+    k_all/v_all: (L, slots, kvh, d) raw rows; equalizers and absmax
+    scales applied exactly as kv_write_token_all would, so the flushed
+    pools are bit-identical to the per-step scatter path."""
+    wk, wks, wv, wvs = win
+    L, slots = k_all.shape[:2]
+    if wks is None:
+        kf = k_all.reshape(L, slots, 1, -1).astype(wk.dtype)
+        vf = v_all.reshape(L, slots, 1, -1).astype(wv.dtype)
+        return (jax.lax.dynamic_update_slice_in_dim(wk, kf, i, axis=2),
+                None,
+                jax.lax.dynamic_update_slice_in_dim(wv, vf, i, axis=2),
+                None)
+    quant = _absmax_quantize4 if cache.kv_bits == 4 else _absmax_quantize
+    qk, sk = quant(_eq_div_all(k_all, cache.k_eq))  # codes, (L, slots, kvh)
+    qv, sv = quant(_eq_div_all(v_all, cache.v_eq))
+    wk = jax.lax.dynamic_update_slice_in_dim(
+        wk, qk.reshape(L, slots, 1, -1), i, axis=2)
+    wv = jax.lax.dynamic_update_slice_in_dim(
+        wv, qv.reshape(L, slots, 1, -1), i, axis=2)
+    wks = jax.lax.dynamic_update_slice_in_dim(
+        wks, sk[..., None], i, axis=3)
+    wvs = jax.lax.dynamic_update_slice_in_dim(
+        wvs, sv[..., None], i, axis=3)
+    return (wk, wks, wv, wvs)
+
+
+def window_flush(cache: PagedKVCache, win, table: jax.Array,
+                 pos0: jax.Array, n: int) -> PagedKVCache:
+    """Scatter the window's first ``n`` columns into the pools — ONE
+    aliasing event per chunk instead of per step.
+
+    table: (slots, mpps); pos0: (slots,) position of window column 0
+    (= the chunk's first decoded token).  Codes/scales are already
+    quantized; this is a pure data movement."""
+    wk, wks, wv, wvs = win
+    L, slots = wk.shape[:2]
+    page = cache.page_size
+    j = jnp.arange(n, dtype=jnp.int32)
+    pos = pos0[:, None] + j[None, :]                  # (slots, n)
+    pages = jnp.take_along_axis(table, pos // page, axis=1)  # (slots, n)
+    offsets = (pos % page).reshape(-1)
+    pages = pages.reshape(-1)
+    kf = wk[:, :, :n].reshape(L, slots * n, -1)
+    vf = wv[:, :, :n].reshape(L, slots * n, -1)
+    out = dataclasses.replace(
+        cache,
+        k=cache.k.at[:, pages, offsets].set(kf),
+        v=cache.v.at[:, pages, offsets].set(vf),
+    )
+    if wks is None:
+        return out
+    # ks (L, P, kvh, spad) at [:, pages, :, offsets]: advanced indices
+    # in dims 1 and 3 → update shape (slots·n, L, kvh)
+    kvh = cache.ks.shape[2]
+    sk = wks[:, :, :, :n].transpose(1, 3, 0, 2).reshape(slots * n, L, kvh)
+    sv = wvs[:, :, :, :n].transpose(1, 3, 0, 2).reshape(slots * n, L, kvh)
+    return dataclasses.replace(
+        out,
+        ks=cache.ks.at[:, pages, :, offsets].set(sk),
+        vs=cache.vs.at[:, pages, :, offsets].set(sv),
+    )
