@@ -65,4 +65,12 @@ def test_matches_true_weight_error_level(rng):
     x = rng.normal(size=(8, 512)).astype(np.float32)
     y = np.asarray(quantized_matmul(jnp.asarray(x), pl_w, impl="pallas",
                                     token_tile=8, out_tile=128, k_tile=512))
-    np.testing.assert_allclose(y, x @ wq.T, rtol=1e-4, atol=1e-3)
+    # native TPU: the kernel's MXU dot is single-pass bf16 (the kernel
+    # is DMA-bound at decode — X3 would triple MXU time for error
+    # already far below W4 quantization noise), so per-element error is
+    # ~sqrt(K)*eps_bf16*|rows| independent of |y|; assert the relative
+    # Frobenius error instead of elementwise closeness (exact-f32 on
+    # CPU interpret, bf16-grade on silicon)
+    want = x @ wq.T
+    rel = np.linalg.norm(y - want) / np.linalg.norm(want)
+    assert rel < 1e-2, rel

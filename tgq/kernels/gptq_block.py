@@ -2,9 +2,23 @@
 
 TPU-native counterpart of the reference's Triton ``gptq_block_kernel``
 (gptq_utils.py:298-387), redesigned for the VPU/VMEM model rather than
-translated:
+translated.
 
-- grid over row tiles (default 256 rows — 32 f32 sublane tiles); every
+**Measured and NOT the production default** (r3, tgq.cli
+.gptq_kernel_bench on v5e at real Qwen3-8B module shapes, W4 g128,
+block 1024): the jnp fori_loop path (tgq.solver.gptq_loop) is ~3.7×
+faster (jnp 11.8 s vs pallas 43.3 s summed over o/qkv/gate_up/down
+shapes).  The sweep is a sequential per-column chain of masked VPU ops;
+XLA fuses each column step across the full (out_f, b) width, while this
+kernel's 128-row grid tiles re-run the column chain per tile — more
+total sequential steps, same VPU width.  The reference's conclusion is
+the opposite on GPU (its Triton kernel IS its production path,
+gptq_utils.py:507-514) because CUDA thread blocks parallelize rows for
+free; on TPU the row dimension is already vectorized inside one core.
+Kept as the oracle-verified native-kernel counterpart and for
+QuantizeConfig(kernel_backend="pallas") experiments:
+
+- grid over row tiles (default 128 rows — 16 f32 sublane tiles); every
   program keeps its (ROWS × B) weight/scale/zero tile and the (B × B)
   propagation block resident in VMEM for the whole column sweep, so the
   sequential dependency never touches HBM.
@@ -29,7 +43,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_ROWS = 256
+# 128 rows x 1024-col blocks: w/s/z/q/e tiles + the (b, b) R block fit
+# in ~7 MB of VMEM incl. loop-carry double buffers — 256 rows exceeded
+# the 16 MB scoped limit at real 8B block widths (b_pad 1024)
+DEFAULT_ROWS = 128
 
 
 def _gptq_block_kernel(w_ref, s_ref, z_ref, r_ref, q_ref, e_ref, *,

@@ -267,7 +267,7 @@ def _pchol_factors_jit(lt: jax.Array, perm: jax.Array, rank: jax.Array,
 
 
 def pchol_factor(
-    h, eps: float = 1e-6, panel: int = 128, pivot_rtol: float = 1e-6,
+    h, eps: float = 1e-6, panel: int = 128, pivot_rtol: float = 1e-4,
     want_rx: bool = True,
 ) -> FactorResult:
     """TruncGPTQ factorization via pivoted Cholesky (TPU fast path).
@@ -277,8 +277,15 @@ def pchol_factor(
     r_x with R_xᵀR_x ≈ H_perm for diagnostics.
 
     ``pivot_rtol``: numerical-rank guard — pivots below rtol × the first
-    pivot are unresolvable in f32 (LAPACK pstrf-style breakdown stop);
-    columns beyond that degrade to RTN regardless of ``eps``.
+    pivot are unresolvable by the sweep's arithmetic (LAPACK pstrf-style
+    breakdown stop); columns beyond that degrade to RTN regardless of
+    ``eps``.  The default 1e-4 sits above the BF16_BF16_F32_X3 Schur
+    noise floor (~n·1e-7 of the top pivot after rank exhaustion —
+    measured on-chip: with 1e-6 a truly rank-20 matrix read rank ≈ n
+    natively and the H⁺ factor build went ill-conditioned, while CPU
+    exact-f32 runs read it correctly).  A pivot 1e-4 below the max
+    carries negligible conditional variance, so its RTN fallback is
+    quality-neutral.
     """
     h = jnp.asarray(h)
     n = h.shape[0]
