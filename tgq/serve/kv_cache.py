@@ -483,12 +483,14 @@ def window_init(cache: PagedKVCache, slots: int, w: int):
     wv = jnp.zeros((L, slots, w, stored), cache.v.dtype)
     if cache.ks is None:
         return (wk, None, wv, None)
-    # scales (L, slots, kvh, wpad) — matches the kernel's per-slot
-    # (kvh, wpad) block
-    wpad = scale_pad(w)
+    # scales (L, slots, kvh, w) — the kernel reads these as regular
+    # BlockSpec pipeline blocks (Mosaic pads lanes internally), unlike
+    # the pool scales whose manual DMA slices need 128-aligned lane
+    # extents; keeping the array at width w (16ish) instead of 128
+    # saves ~8x of the scan-carried scale traffic
     kvh = cache.ks.shape[2]
-    return (wk, jnp.zeros((L, slots, kvh, wpad), jnp.float32),
-            wv, jnp.zeros((L, slots, kvh, wpad), jnp.float32))
+    return (wk, jnp.zeros((L, slots, kvh, w), jnp.float32),
+            wv, jnp.zeros((L, slots, kvh, w), jnp.float32))
 
 
 def window_write_step(win, i, cache: PagedKVCache, k_all: jax.Array,
