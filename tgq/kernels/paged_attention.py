@@ -155,7 +155,12 @@ def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
     def expand_rows(s):
         """(ppb, kvh, spad) → (H, ppb·page): per page, repeat each KV
         head's scale row `group`×, dropping the 128-lane DMA padding;
-        pages concatenate along lanes to match the block's logits."""
+        pages concatenate along lanes to match the block's logits.
+
+        The single-row slice-concat loop IS the fast Mosaic idiom here:
+        replacing it (and the window-scale expands) with one sublane
+        ``jnp.repeat`` measured +5 ms/step at 128 slots on v5e —
+        Mosaic lowers the repeat far worse than the concat chain."""
         per_page = []
         for j in range(ppb):
             rows = jnp.concatenate(
