@@ -534,3 +534,49 @@ def test_kernel_chunk_window_matches_oracle(int8):
     assert np.isfinite(got[live]).all()
     assert rel < 2e-2, (int8, rel)
     assert np.all(got[~live] == 0)
+
+
+def test_glu_fused_matmul_matches_split():
+    """quantized_matmul(glu=True) — silu(gate)·up computed inside the
+    kernel from two BlockSpec views of one buffer — equals the split
+    silu-then-matmul form, stacked and unstacked."""
+    from tgq.core.packing import PackedLinear
+    from tgq.core.quant import QuantSpec
+    from tgq.kernels.dequant_matmul import quantized_matmul
+
+    rng = np.random.default_rng(5)
+    spec = QuantSpec(bits=4, group_size=128, sym=False)
+    n, m = 256, 128  # in_features, out_features
+    layers = []
+    for _ in range(2):
+        # from_codes wants (out, in) codes and (out, groups) params
+        codes = jnp.asarray(rng.integers(0, 16, (m, n)), jnp.int32)
+        scale = jnp.asarray(rng.random((m, n // 128)) * 0.02 + 0.01,
+                            jnp.float32)
+        zero = jnp.asarray(np.round(rng.random((m, n // 128)) * 15),
+                           jnp.float32)
+        layers.append(PackedLinear.from_codes(codes, scale, zero, spec))
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    gu = jnp.asarray(rng.standard_normal((8, 2 * n)), jnp.float32)
+
+    def split_ref(w):
+        g, u = np.asarray(gu[:, :n]), np.asarray(gu[:, n:])
+        act = g / (1 + np.exp(-g)) * u
+        return act @ np.asarray(w.dequantize(jnp.float32)).T
+
+    def check(got, want):
+        # native TPU MXU dots are single-pass bf16 (error norm-scaled,
+        # not element-scaled); CPU interpret is exact f32
+        rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+        assert rel < 1e-2, rel
+
+    for li in range(2):
+        want = split_ref(layers[li])
+        check(np.asarray(quantized_matmul(gu, layers[li], impl="pallas",
+                                          glu=True), np.float32), want)
+        check(np.asarray(quantized_matmul(gu, stacked, glu=True,
+                                          impl="pallas",
+                                          layer=jnp.int32(li)), np.float32),
+              want)
+        check(np.asarray(quantized_matmul(gu, layers[li], impl="xla",
+                                          glu=True), np.float32), want)

@@ -58,13 +58,19 @@ def _unpack_tile_kmajor(pg: jax.Array, bits: int, group_size: int):
     return q.astype(jnp.float32)  # (ng, g, TO)
 
 
-def _dequant_matmul_kernel(x_ref, codes_ref, scale_ref, zero_ref, o_ref,
-                           acc_ref, *, bits: int, group_size: int,
+def _dequant_matmul_kernel(x_ref, up_ref, codes_ref, scale_ref, zero_ref,
+                           o_ref, acc_ref, *, bits: int, group_size: int,
                            k_tile: int, n_k: int):
     """Accumulates k-tiles in a VMEM f32 scratch and writes ``o_ref``
     (any dtype) once on the last k step — emitting bf16 directly halves
     the output HBM traffic and removes the separate cast op the f32
-    out_shape used to require."""
+    out_shape used to require.
+
+    ``up_ref`` (GLU mode, down_proj): x_ref holds the gate tile and
+    up_ref the up tile of the same fused gate_up activation buffer (two
+    BlockSpecs over one operand — no copies); the kernel computes
+    silu(gate)·up on the fly, so the silu intermediate never exists in
+    HBM."""
     @pl.when(pl.program_id(2) == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
@@ -75,6 +81,9 @@ def _dequant_matmul_kernel(x_ref, codes_ref, scale_ref, zero_ref, o_ref,
     z = zero_ref[:].reshape(ng, 1, to)
     w = ((q - z) * s).reshape(k_tile, to)
     x = x_ref[:].astype(jnp.float32)                          # (TT, KT)
+    if up_ref is not None:
+        u = up_ref[:].astype(jnp.float32)
+        x = x * jax.lax.logistic(x) * u                       # silu(g)·u
     acc_ref[:] += jax.lax.dot_general(
         x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )
@@ -93,8 +102,14 @@ def quantized_matmul(
     k_tile: int = 2048,
     out_dtype=None,
     layer: jax.Array | None = None,
+    glu: bool = False,
 ) -> jax.Array:
     """x: (..., in_features) → (..., out_features).
+
+    ``glu``: x's last dim is 2·in_features holding [gate | up]; the
+    matmul input is silu(gate)·up, computed inside the kernel from two
+    BlockSpec views of the same buffer (the silu intermediate never
+    round-trips HBM on the pallas path).
 
     ``layer``: when given, ``w``'s arrays carry a leading layer dim
     (layer-stacked params from a serving scan) and ``layer`` is a traced
@@ -127,7 +142,7 @@ def quantized_matmul(
     out_dtype = out_dtype or x.dtype
     lead = x.shape[:-1]
     n, m = w.in_features, w.out_features
-    x2 = x.reshape(-1, n)
+    x2 = x.reshape(-1, 2 * n if glu else n)
     t = x2.shape[0]
 
     def bias_of(w):
@@ -142,11 +157,17 @@ def quantized_matmul(
             y = y + b.astype(y.dtype)
         return y.astype(out_dtype).reshape(*lead, m)
 
+    def glu_fold(x2):
+        g, u = x2[:, :n], x2[:, n:]
+        gf = g.astype(jnp.float32)
+        return gf * jax.lax.logistic(gf) * u.astype(jnp.float32)
+
     if impl == "xla" or w.group_size <= 0 or n % w.group_size:
         if stacked:
             w = jax.tree.map(lambda a: a[layer], w)
             stacked = False
-        y = x2.astype(jnp.float32) @ w.dequantize(jnp.float32).T
+        xin = glu_fold(x2) if glu else x2.astype(jnp.float32)
+        y = xin @ w.dequantize(jnp.float32).T
         return finish(y, w)
 
     g = w.group_size
@@ -168,7 +189,8 @@ def quantized_matmul(
         if stacked:
             w = jax.tree.map(lambda a: a[layer], w)
             stacked = False
-        y = x2.astype(jnp.float32) @ w.dequantize(jnp.float32).T
+        xin = glu_fold(x2) if glu else x2.astype(jnp.float32)
+        y = xin @ w.dequantize(jnp.float32).T
         return finish(y, w)
     bytes_per_k = w.bits * k_tile // 8
     grid = (-(-m // to), -(-t // tt), n // k_tile)
@@ -177,12 +199,16 @@ def quantized_matmul(
     if t_pad != t:
         x2 = jnp.pad(x2, ((0, t_pad - t), (0, 0)))
     assert m % to == 0 and n % k_tile == 0, (m, to, n, k_tile)
+    n_k = n // k_tile  # up tile of GLU inputs = gate block index + n_k
 
     ng_tile = k_tile // g
     kernel = functools.partial(
         _dequant_matmul_kernel, bits=w.bits, group_size=g, k_tile=k_tile,
         n_k=grid[2],
     )
+    if not glu:
+        kernel = functools.partial(lambda f, x, c, s, z, o, a: f(
+            x, None, c, s, z, o, a), kernel)
     # emit the output in the requested dtype straight from the VMEM
     # accumulator (halves output HBM traffic for bf16 consumers); keep
     # f32 when a bias is added afterwards so its addition precision is
@@ -195,19 +221,26 @@ def quantized_matmul(
         def skernel(layer_ref, *refs):
             return kernel(*refs)
 
+        gate_spec = pl.BlockSpec((tt, k_tile), lambda i, j, k, L: (j, k))
+        in_specs = [gate_spec]
+        operands = [x2]
+        if glu:
+            in_specs.append(pl.BlockSpec(
+                (tt, k_tile), lambda i, j, k, L: (j, k + n_k)))
+            operands.append(x2)
+        in_specs += [
+            pl.BlockSpec((None, bytes_per_k, to),
+                         lambda i, j, k, L: (L[0], k, i)),
+            pl.BlockSpec((None, ng_tile, to),
+                         lambda i, j, k, L: (L[0], k, i)),
+            pl.BlockSpec((None, ng_tile, to),
+                         lambda i, j, k, L: (L[0], k, i)),
+        ]
         y = pl.pallas_call(
             skernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
-                in_specs=[
-                    pl.BlockSpec((tt, k_tile), lambda i, j, k, L: (j, k)),
-                    pl.BlockSpec((None, bytes_per_k, to),
-                                 lambda i, j, k, L: (L[0], k, i)),
-                    pl.BlockSpec((None, ng_tile, to),
-                                 lambda i, j, k, L: (L[0], k, i)),
-                    pl.BlockSpec((None, ng_tile, to),
-                                 lambda i, j, k, L: (L[0], k, i)),
-                ],
+                in_specs=in_specs,
                 out_specs=pl.BlockSpec((tt, to), lambda i, j, k, L: (j, i)),
                 grid=grid,
                 scratch_shapes=scratch,
@@ -217,22 +250,29 @@ def quantized_matmul(
                 dimension_semantics=("parallel", "parallel", "arbitrary"),
             ),
         )(jnp.asarray(layer, jnp.int32).reshape(1),
-          x2, w.codes, w.scale, w.zero)
+          *operands, w.codes, w.scale, w.zero)
         return finish(y[:t], w)
 
+    in_specs = [pl.BlockSpec((tt, k_tile), lambda i, j, k: (j, k),
+                             memory_space=pltpu.VMEM)]
+    operands = [x2]
+    if glu:
+        in_specs.append(pl.BlockSpec((tt, k_tile),
+                                     lambda i, j, k: (j, k + n_k),
+                                     memory_space=pltpu.VMEM))
+        operands.append(x2)
+    in_specs += [
+        pl.BlockSpec((bytes_per_k, to), lambda i, j, k: (k, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ng_tile, to), lambda i, j, k: (k, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ng_tile, to), lambda i, j, k: (k, i),
+                     memory_space=pltpu.VMEM),
+    ]
     y = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((tt, k_tile), lambda i, j, k: (j, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bytes_per_k, to), lambda i, j, k: (k, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ng_tile, to), lambda i, j, k: (k, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ng_tile, to), lambda i, j, k: (k, i),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((tt, to), lambda i, j, k: (j, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t_pad, m), y_dtype),
@@ -241,5 +281,5 @@ def quantized_matmul(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=jax.default_backend() != "tpu",
-    )(x2, w.codes, w.scale, w.zero)
+    )(*operands, w.codes, w.scale, w.zero)
     return finish(y[:t], w)

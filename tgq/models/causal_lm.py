@@ -35,14 +35,18 @@ Params = dict
 # ----------------------------------------------------------------- linears
 
 
-def apply_linear(p, x: jax.Array, layer=None) -> jax.Array:
+def apply_linear(p, x: jax.Array, layer=None, glu: bool = False) -> jax.Array:
     """x @ Wᵀ (+ b).  p is {"w": (out,in)[, "b": (out,)]} or PackedLinear
     (which routes through the fused dequant-matmul kernel on TPU).
 
     ``layer``: traced layer index for layer-stacked PackedLinear params
     (3-D codes) — the kernel indexes the stacked weights directly so the
     serving scan never copies a layer's weights (tgq.kernels
-    .dequant_matmul)."""
+    .dequant_matmul).
+
+    ``glu``: x's last dim is 2·in_features holding [gate | up]; the
+    matmul input is silu(gate)·up (computed inside the fused kernel on
+    the packed path — the silu intermediate never round-trips HBM)."""
     if isinstance(p, PackedLinear):
         from tgq.kernels.dequant_matmul import quantized_matmul
 
@@ -50,17 +54,22 @@ def apply_linear(p, x: jax.Array, layer=None) -> jax.Array:
 
         mesh = serving_mesh()
         if mesh is not None and p.tp_kind is not None:
+            assert not glu  # TP shards the unfused projection names
             return quantized_matmul_tp(
                 x, p, mesh, layer=layer if p.codes.ndim == 3 else None)
         lyr = layer if p.codes.ndim == 3 else None
         if mesh is not None:
             # unmarked packed linear under a mesh: GSPMD cannot
             # partition a pallas call — use the XLA dequant path
-            return quantized_matmul(x, p, impl="xla", layer=lyr)
-        if lyr is not None:
-            return quantized_matmul(x, p, layer=lyr)
-        return quantized_matmul(x, p)
+            return quantized_matmul(x, p, impl="xla", layer=lyr, glu=glu)
+        return quantized_matmul(x, p, layer=lyr, glu=glu)
     w = p["w"]
+    if glu:
+        n = w.shape[1]
+        g, u = x[..., :n], x[..., n:]
+        gf = g.astype(jnp.float32)
+        x = (gf * jax.lax.logistic(gf) * u.astype(jnp.float32)).astype(
+            x.dtype)
     y = x @ w.T.astype(x.dtype)
     if "b" in p:
         y = y + p["b"].astype(y.dtype)

@@ -361,6 +361,11 @@ def _decode_layer(lp, li, cfg: ModelConfig, x, cache: PagedKVCache,
                          attn.reshape(slots, cfg.q_size).astype(x.dtype),
                          layer=li)
     h2 = rms_norm(x, lp["post_attention_layernorm"]["weight"], cfg.rms_norm_eps)
+    # NOTE: quantized_matmul(glu=True) can fold silu(gate)·up into the
+    # down kernel, but measured +1.25 ms/step at 128 slots on v5e (the
+    # kernel re-reads gate+up tiles separately and the in-kernel silu
+    # sits on the MXU critical path, while XLA's separate elementwise
+    # fusion overlaps with the previous kernel) — the split form stays.
     if "gate_up_proj" in lp["mlp"]:
         gate, up = jnp.split(
             apply_linear(lp["mlp"]["gate_up_proj"], h2, layer=li), 2, axis=-1)
