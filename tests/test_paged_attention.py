@@ -432,13 +432,16 @@ def test_kernel_tp_sharded_matches_single_device(int8):
 
 @pytest.mark.parametrize("int8", [False, True])
 def test_kernel_chunk_window_matches_oracle(int8):
-    """Kernel with pools + chunk window + current-token registers ==
+    """Kernel flash partials (pools + current-token registers,
+    return_stats=True) merged with the XLA raw-window softmax block ==
     oracle over the full token set (the decode_steps chunk-window
-    layout: pools [0, len-1-w), window rows w, current in registers)."""
+    layout: pools [0, len-1-w), raw window rows w, current in
+    registers)."""
     from tgq.kernels.paged_attention import paged_decode_attention
+    from tgq.serve.decode import _merge_partials, _window_partial
 
     rng = np.random.default_rng(11)
-    L2, W, wpad, wl = 2, 4, 128, 3
+    L2, W, wl = 2, 4, 3
     lens = np.array([9, 0, 16, 33, 64, 4], np.int32)
     q = rng.standard_normal((B, H, D)).astype(np.float32) * 0.3
     table = rng.permutation(P - 1)[: B * MPPS].reshape(B, MPPS).astype(
@@ -458,41 +461,29 @@ def test_kernel_chunk_window_matches_oracle(int8):
               * ks[..., :PG].transpose(0, 1, 3, 2)[..., None])
         vf = (vpool_i.reshape(L2, P, PG, KVH, D).astype(np.float32)
               * vs[..., :PG].transpose(0, 1, 3, 2)[..., None])
-        wk_i = rng.integers(-127, 128, (L2, B, W, FUSED)).astype(np.int8)
-        wv_i = rng.integers(-127, 128, (L2, B, W, FUSED)).astype(np.int8)
-        wks = np.zeros((L2, B, KVH, wpad), np.float32)
-        wvs = np.zeros((L2, B, KVH, wpad), np.float32)
-        wks[..., :W] = rng.random((L2, B, KVH, W)) * 0.02 + 0.001
-        wvs[..., :W] = rng.random((L2, B, KVH, W)) * 0.02 + 0.001
-        wkf = (wk_i.reshape(L2, B, W, KVH, D).astype(np.float32)
-               * wks[..., :W].transpose(0, 1, 3, 2)[..., None])
-        wvf = (wv_i.reshape(L2, B, W, KVH, D).astype(np.float32)
-               * wvs[..., :W].transpose(0, 1, 3, 2)[..., None])
         pools = (jnp.asarray(kpool_i), jnp.asarray(vpool_i),
                  jnp.asarray(ks), jnp.asarray(vs))
-        win = (jnp.asarray(wk_i), jnp.asarray(wks),
-               jnp.asarray(wv_i), jnp.asarray(wvs))
     else:
         kf = (rng.standard_normal((L2, P, PG, KVH, D)) * 0.5).astype(
             np.float32)
         vf = (rng.standard_normal((L2, P, PG, KVH, D)) * 0.5).astype(
             np.float32)
-        wkf = (rng.standard_normal((L2, B, W, KVH, D)) * 0.5).astype(
-            np.float32)
-        wvf = (rng.standard_normal((L2, B, W, KVH, D)) * 0.5).astype(
-            np.float32)
         pools = (jnp.asarray(kf.reshape(L2, P, PG, FUSED), jnp.bfloat16),
                  jnp.asarray(vf.reshape(L2, P, PG, FUSED), jnp.bfloat16),
                  None, None)
-        win = (jnp.asarray(wkf.reshape(L2, B, W, FUSED), jnp.bfloat16),
-               None,
-               jnp.asarray(wvf.reshape(L2, B, W, FUSED), jnp.bfloat16),
-               None)
         # oracle must see the bf16-rounded stored values
         kf = np.asarray(jnp.asarray(kf, jnp.bfloat16), np.float32)
         vf = np.asarray(jnp.asarray(vf, jnp.bfloat16), np.float32)
-        wkf = np.asarray(jnp.asarray(wkf, jnp.bfloat16), np.float32)
-        wvf = np.asarray(jnp.asarray(wvf, jnp.bfloat16), np.float32)
+
+    # the chunk window is ALWAYS raw bf16 rows in (L, B, kvh, W, d)
+    # layout (independent of pool format — tgq.serve.kv_cache
+    # .window_init)
+    wkf = (rng.standard_normal((L2, B, W, KVH, D)) * 0.5).astype(np.float32)
+    wvf = (rng.standard_normal((L2, B, W, KVH, D)) * 0.5).astype(np.float32)
+    win = (jnp.asarray(wkf.transpose(0, 1, 3, 2, 4), jnp.bfloat16),
+           jnp.asarray(wvf.transpose(0, 1, 3, 2, 4), jnp.bfloat16))
+    wkf = np.asarray(jnp.asarray(wkf, jnp.bfloat16), np.float32)
+    wvf = np.asarray(jnp.asarray(wvf, jnp.bfloat16), np.float32)
 
     kcur = (rng.standard_normal((B, FUSED)) * 0.5).astype(np.float32)
     vcur = (rng.standard_normal((B, FUSED)) * 0.5).astype(np.float32)
@@ -522,18 +513,20 @@ def test_kernel_chunk_window_matches_oracle(int8):
             pr /= pr.sum()
             out_ref[b, h] = pr @ vs_all[:, kh]
 
-    got = np.asarray(paged_decode_attention(
+    kern = paged_decode_attention(
         jnp.asarray(q), pools[0], pools[1], pools[2], pools[3],
         jnp.int32(li), jnp.asarray(lens), jnp.asarray(table),
         jnp.asarray(kcur), jnp.asarray(vcur),
-        window=win, w_live=jnp.int32(wl),
-        num_kv_heads=KVH), np.float32)
+        w_live=jnp.int32(wl),
+        num_kv_heads=KVH, return_stats=True)
+    winp = _window_partial(jnp.asarray(q), win, jnp.int32(li),
+                           jnp.int32(wl), KVH)
+    got = np.asarray(_merge_partials(kern, winp), np.float32)
     live = lens > 0
     rel = (np.linalg.norm((got - out_ref)[live])
            / np.linalg.norm(out_ref[live]))
     assert np.isfinite(got[live]).all()
     assert rel < 2e-2, (int8, rel)
-    assert np.all(got[~live] == 0)
 
 
 def test_glu_fused_matmul_matches_split():

@@ -133,9 +133,10 @@ def test_tp_kernel_attn_matches_tp_gather(eight_devices):
 
 def test_default_attn_impl_alignment(monkeypatch):
     """Kernel routing: on TPU the fused kernel is chosen whenever every
-    shard's page DMA stays 128-lane aligned — including the int4
-    nibble-packed case where the stored lane extent is fused/2 (advisor
-    r2: fused%256 needed for int4)."""
+    shard's page DMA stays 128-lane aligned — and int4 pools NEVER use
+    the per-shard kernel under TP (advisor r3 high: the nibble packing
+    is split-half over the GLOBAL fused row, so byte-axis sharding
+    hands each shard the wrong heads' features)."""
     from tgq.models import PRESETS as P2
     from tgq.serve import decode as dec
 
@@ -157,7 +158,10 @@ def test_default_attn_impl_alignment(monkeypatch):
 
     assert dec.default_attn_impl(M2(), qwen, 8) == "kernel"   # 512/shard
     assert dec.default_attn_impl(M8(), qwen, 8) == "kernel"   # 128/shard
-    assert dec.default_attn_impl(M8(), qwen, 4) == "gather"   # 64 stored
+    # int4 + TP: global split-half packing vs per-head sharding — the
+    # shard-local kernel would silently attend the wrong heads' K/V
+    assert dec.default_attn_impl(M2(), qwen, 4) == "gather"
+    assert dec.default_attn_impl(M8(), qwen, 4) == "gather"
     assert dec.default_attn_impl(M2(), kv128, 8) == "gather"  # 64/shard
     # tp not dividing kv heads → gather
     class M3:

@@ -229,16 +229,26 @@ def _composed_only(args, cfg, params, cache, table, lens, pos, results):
     print(f"[decode_bench] composed step:  {dt*1e3:7.2f} ms/step "
           f"({slots / dt:.0f} tok/s)", flush=True)
 
-    total = sum(v for k, v in results.items() if k != "composed_ms")
-    print(json.dumps({
-        "metric": "decode_step_component_ms",
-        "value": round(total, 2), "unit": "ms",
-        "config": {"model": args.model_id, "slots": slots,
-                   "context": args.context, "page_size": page,
-                   "w_bits": args.w_bits, "kv_bits": args.kv_bits,
-                   "lm_head_bits": args.lm_head_bits},
-        "components": results,
-    }))
+    config = {"model": args.model_id, "slots": slots,
+              "context": args.context, "page_size": page,
+              "w_bits": args.w_bits, "kv_bits": args.kv_bits,
+              "lm_head_bits": args.lm_head_bits}
+    has_components = any(k != "composed_ms" for k in results)
+    if has_components:
+        total = sum(v for k, v in results.items() if k != "composed_ms")
+        print(json.dumps({
+            "metric": "decode_step_component_ms",
+            "value": round(total, 2), "unit": "ms",
+            "config": config, "components": results,
+        }))
+    else:
+        # --skip_components: a component total of 0 would be a
+        # misleading record — emit the composed number as its own metric
+        print(json.dumps({
+            "metric": "decode_step_composed_ms",
+            "value": results["composed_ms"], "unit": "ms",
+            "config": config,
+        }))
     return 0
 
 

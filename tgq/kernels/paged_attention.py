@@ -80,11 +80,11 @@ class _BlockCopy:
 def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
             init_flag_ref, next_live_ref, w_live_ref,
             q_ref, k_ref, ks_ref, v_ref, vs_ref,
-            wk_ref, wks_ref, wv_ref, wvs_ref, kc_ref, vc_ref,
-            o_ref,
+            kc_ref, vc_ref,
+            o_ref, m_ref, l_ref,
             k_vmem, ks_vmem, v_vmem, vs_vmem, k_sems, v_sems, *,
             batch_size: int, pages_per_sequence: int, num_kv_heads: int,
-            pages_per_block: int, int4: bool,
+            pages_per_block: int, int4: bool, has_window: bool,
             mask_value: float, attn_logits_soft_cap: float | None):
     b = pl.program_id(0)
     ppb = pages_per_block
@@ -97,18 +97,23 @@ def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
     num_q_heads = q_ref.shape[0]
     group = num_q_heads // num_kv_heads
     quantized = ks_ref is not None
-    # current-token K/V arrive as registers (deferred pool writes); a
-    # chunk WINDOW (wk/wv, quantized like the pools) may hold the
-    # w_live most recent tokens before that — the pools then cover only
-    # [0, length - 1 - w_live).  Both tails fold into the softmax
-    # inline after the page loop, which is what lets decode_steps keep
-    # the multi-GB pools scan-invariant (one flush per chunk instead of
-    # a per-step scatter that forces XLA to copy custom-call operands).
+    # current-token K/V arrive as registers (deferred pool writes); in
+    # chunk-window mode (has_window) the w_live most recent tokens
+    # before that live OUTSIDE the kernel, in a raw scan-carried window
+    # that XLA-side attention covers (tgq.serve.decode) — the kernel
+    # only shrinks its pool coverage to [0, length - 1 - w_live) and
+    # returns flash partials (m_ref/l_ref) so the caller can merge the
+    # two softmaxes exactly.  Keeping the window OUT of the kernel is
+    # what stops XLA copying it every step (a custom-call operand that
+    # is also a per-step DUS target gets defensively copied).
     has_current = kc_ref is not None
-    has_window = wk_ref is not None
     w_live = w_live_ref[0] if has_window else 0
+    return_stats = m_ref is not None
 
     o_ref[...] = jnp.zeros_like(o_ref)
+    if return_stats:
+        m_ref[...] = jnp.full_like(m_ref, mask_value)
+        l_ref[...] = jnp.zeros_like(l_ref)
 
     def pool_len_of(bb):
         ln = lengths_ref[bb]
@@ -243,45 +248,6 @@ def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
     m_fin, l_fin, acc = lax.fori_loop(0, n_blocks_of(b), block_body,
                                       (m0, l0, acc0))
 
-    if has_window:
-        # fold the chunk window in as one masked online-softmax block:
-        # rows [0, w_live) are this chunk's already-decoded tokens,
-        # quantized exactly like the pools (same absmax scales, applied
-        # in the logit domain)
-        wk = _unpack(wk_ref[...])                # (W, fused) f32
-        wv = _unpack(wv_ref[...])
-        W = wk.shape[0]
-        qk_w = jax.lax.dot_general(qd, wk, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-        if quantized:
-            # (kvh, Wpad) scales → (H, W): repeat each head's row group×
-            rows = jnp.concatenate(
-                [wks_ref[g:g + 1, :W]
-                 for g in range(num_kv_heads) for _ in range(group)],
-                axis=0)
-            qk_w = qk_w * rows
-        if attn_logits_soft_cap is not None:
-            qk_w = jnp.tanh(qk_w / attn_logits_soft_cap) \
-                * attn_logits_soft_cap
-        wcol = lax.broadcasted_iota(jnp.int32, qk_w.shape, 1)
-        qk_w = qk_w + jnp.where(wcol < w_live, 0.0, mask_value)
-        m_curr = qk_w.max(axis=-1)[:, None]
-        m_next = jnp.maximum(m_fin, m_curr)
-        alpha = jnp.exp(m_fin - m_next)
-        p_w = jnp.exp(qk_w - m_next)
-        if quantized:
-            p_v = p_w * jnp.concatenate(
-                [wvs_ref[g:g + 1, :W]
-                 for g in range(num_kv_heads) for _ in range(group)],
-                axis=0)
-        else:
-            p_v = p_w
-        l_fin = l_fin * alpha + p_w.sum(axis=-1)[:, None]
-        acc = acc * alpha + jax.lax.dot_general(
-            p_v, wv, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        m_fin = m_next
-
     if has_current:
         # fold the current token in from registers — one online-softmax
         # step with a length-1 block (exact; never quantized)
@@ -297,6 +263,7 @@ def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
         p_c = jnp.exp(qk_c - m_next)
         l_fin = l_fin * alpha + p_c
         acc = acc * alpha + p_c * vc             # (H,1)·(1,fused)
+        m_fin = m_next                           # keep stats consistent
 
     @pl.when(length > 0)
     def _():
@@ -307,12 +274,20 @@ def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
         for g in range(num_kv_heads):
             blk = acc[:, g * head_dim:(g + 1) * head_dim]
             out = out + jnp.where(row_sel == g, blk, 0.0)
-        o_ref[...] = (out / l_fin).astype(o_ref.dtype)
+        if return_stats:
+            # UN-normalized partials: caller merges with the window's
+            # softmax block (acc, m, l), then divides once
+            o_ref[...] = out.astype(o_ref.dtype)
+            m_ref[...] = m_fin
+            l_ref[...] = l_fin
+        else:
+            o_ref[...] = (out / l_fin).astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_kv_heads", "mask_value", "attn_logits_soft_cap"),
+    static_argnames=("num_kv_heads", "mask_value", "attn_logits_soft_cap",
+                     "return_stats"),
 )
 def paged_decode_attention(
     q: jax.Array,
@@ -325,13 +300,13 @@ def paged_decode_attention(
     page_indices: jax.Array,
     k_current: jax.Array | None = None,
     v_current: jax.Array | None = None,
-    window: tuple | None = None,
     w_live: jax.Array | None = None,
     *,
     num_kv_heads: int,
     mask_value: float = DEFAULT_MASK_VALUE,
     attn_logits_soft_cap: float | None = None,
-) -> jax.Array:
+    return_stats: bool = False,
+):
     """Decode attention for one layer of layer-stacked paged KV pools.
 
     Args:
@@ -351,15 +326,22 @@ def paged_decode_attention(
         and the pools are only read for tokens [0, length-1): the layer
         scan can then defer all pool writes to one batched scatter per
         decode step (tgq.serve.kv_cache.kv_write_token_all).
-      window/w_live: chunk window (tgq.serve.kv_cache.ChunkWindow
-        arrays (wk, wks, wv, wvs), layer-stacked, same quantized format
-        as the pools) holding this chunk's last ``w_live`` decoded
-        tokens; the pools then cover only [0, length - 1 - w_live).
-        Lets decode_steps keep the pools scan-invariant — measured
-        ~9 ms/step at 128 slots was XLA copying the pools every step
-        because they were custom-call operands AND scatter targets.
+      w_live: chunk-window mode (decode_steps): this chunk's last
+        ``w_live`` decoded tokens live OUTSIDE the kernel (a raw
+        scan-carried window, tgq.serve.kv_cache.window_init) and the
+        pools cover only [0, length - 1 - w_live); use with
+        ``return_stats=True`` so the caller can merge the window's
+        softmax block exactly.  The window stays out of the kernel on
+        purpose: a custom-call operand that is also a per-step DUS
+        target gets defensively copied by XLA every step (measured
+        ~9 ms/step for the pools, ~4 ms/step for the r3 in-kernel
+        window at 128 slots).
+      return_stats: also return the flash partials — (o_unnormalized,
+        m, l) with m/l of shape (batch, num_q_heads, 1) f32; ``o`` is
+        then the UN-normalized accumulator in f32.
 
-    Returns (batch, num_q_heads, head_dim) in q.dtype.
+    Returns (batch, num_q_heads, head_dim) in q.dtype, or the
+    (o, m, l) triple when ``return_stats``.
     """
     batch, num_q_heads, head_dim = q.shape
     layers, _, page_size, fused_stored = k_pages.shape
@@ -385,7 +367,7 @@ def paged_decode_attention(
     # pools cover [0, len-1), so a 1-token slot has no pool work),
     # batch_size when none — O(batch log batch) once here vs an O(batch)
     # scalar scan per block inside the kernel
-    has_window = window is not None
+    has_window = w_live is not None
     tail = (1 if has_current else 0)
     if has_window:
         tail = tail + w_live
@@ -397,24 +379,14 @@ def paged_decode_attention(
         [suffix_min[1:], jnp.full((1,), batch, jnp.int32)])
     io_spec = pl.BlockSpec((None, num_q_heads, head_dim),
                            lambda b, *_: (b, 0, 0))
+    stat_spec = pl.BlockSpec((None, num_q_heads, 1), lambda b, *_: (b, 0, 0))
     cur_spec = pl.BlockSpec((None, 1, fused), lambda b, *_: (b, 0, 0))
-    if has_window:
-        wk_a, wks_a, wv_a, wvs_a = window
-        W = wk_a.shape[2]
-        wpad = None if wks_a is None else wks_a.shape[-1]
-        # per-slot window blocks, layer-indexed through scalar prefetch
-        # (operand 2 of the prefetch tuple is the layer scalar)
-        win_spec = pl.BlockSpec(
-            (None, None, W, fused_stored),
-            lambda b, lens, pi, layer, bi, init, nl, wl: (layer[0], b, 0, 0))
-        wscale_spec = (None if wpad is None else pl.BlockSpec(
-            (None, None, num_kv_heads, wpad),
-            lambda b, lens, pi, layer, bi, init, nl, wl: (layer[0], b, 0, 0)))
     kv_buf = pltpu.VMEM((2, ppb * page_size, fused_stored), k_pages.dtype)
     scale_buf = (pltpu.VMEM((2, ppb, num_kv_heads, spad), jnp.float32)
                  if quantized else None)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
 
+    stat_shape = jax.ShapeDtypeStruct((batch, num_q_heads, 1), jnp.float32)
     out = pl.pallas_call(
         functools.partial(
             _kernel,
@@ -423,6 +395,7 @@ def paged_decode_attention(
             num_kv_heads=num_kv_heads,
             pages_per_block=ppb,
             int4=int4,
+            has_window=has_window,
             mask_value=mask_value,
             attn_logits_soft_cap=attn_logits_soft_cap,
         ),
@@ -436,14 +409,11 @@ def paged_decode_attention(
                 any_spec if quantized else None,
                 any_spec,
                 any_spec if quantized else None,
-                win_spec if has_window else None,
-                (wscale_spec if quantized else None) if has_window else None,
-                win_spec if has_window else None,
-                (wscale_spec if quantized else None) if has_window else None,
                 cur_spec if has_current else None,
                 cur_spec if has_current else None,
             ],
-            out_specs=io_spec,
+            out_specs=((io_spec, stat_spec, stat_spec) if return_stats
+                       else (io_spec, None, None)),
             grid=(batch,),
             scratch_shapes=(
                 kv_buf, scale_buf, kv_buf, scale_buf,
@@ -453,8 +423,12 @@ def paged_decode_attention(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-        out_shape=jax.ShapeDtypeStruct(
-            (batch, num_q_heads, head_dim), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct(
+                (batch, num_q_heads, head_dim), jnp.float32),
+            stat_shape if return_stats else None,
+            stat_shape if return_stats else None,
+        ),
     )(
         lengths.astype(jnp.int32),
         page_indices.reshape(-1).astype(jnp.int32),
@@ -469,13 +443,12 @@ def paged_decode_attention(
         k_scales if quantized else None,
         v_pages,
         v_scales if quantized else None,
-        wk_a if has_window else None,
-        (wks_a if quantized else None) if has_window else None,
-        wv_a if has_window else None,
-        (wvs_a if quantized else None) if has_window else None,
         (k_current.astype(jnp.float32).reshape(batch, 1, fused)
          if has_current else None),
         (v_current.astype(jnp.float32).reshape(batch, 1, fused)
          if has_current else None),
     )
-    return out.astype(q.dtype)
+    o, m, l = out
+    if return_stats:
+        return o, m, l
+    return o.astype(q.dtype)

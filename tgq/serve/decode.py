@@ -118,15 +118,24 @@ def default_attn_impl(mesh=None, cfg=None, kv_bits: int = 16) -> str:
     The kernel DMAs whole KV-pool pages as (page_size, fused) blocks
     where fused = kv_heads·head_dim / tp per shard, so the *stored* dim
     must be a multiple of the 128-lane tile or Mosaic rejects the memref
-    slice.  int4 pools nibble-pack two features per byte, so their
-    stored lane extent is fused/2 — an int4 cache needs fused % 256 == 0
-    per shard.  Real presets (fused 768..1024) pass at tp ≤ 4; shrunken
-    test configs may not, and fall back to gather."""
+    slice.  Real presets (fused 768..1024) pass at tp ≤ 4; shrunken
+    test configs may not, and fall back to gather.
+
+    int4 pools are excluded under TP entirely: the nibble packing is
+    split-half over the GLOBAL fused row (byte j holds features j and
+    j+F/2 — kv_cache._absmax_quantize4), so sharding the stored byte
+    axis on "model" hands each shard bytes for features
+    {[sB,(s+1)B) ∪ [F/2+sB, F/2+(s+1)B)} — NOT its kv heads' contiguous
+    range — and the per-shard kernel would pair half the q heads with
+    the wrong heads' K/V.  The gather path unpacks the logically-global
+    array with plain XLA ops, so GSPMD keeps it correct at any tp."""
     if jax.default_backend() != "tpu":
         return "gather"
     tp = 1 if mesh is None else mesh.shape.get("model", 1)
     if cfg is not None:
         if cfg.num_kv_heads % tp != 0:
+            return "gather"
+        if kv_bits == 4 and tp > 1:
             return "gather"
         fused_local = cfg.num_kv_heads * cfg.head_dim // tp
         stored = fused_local // 2 if kv_bits == 4 else fused_local
@@ -137,7 +146,7 @@ def default_attn_impl(mesh=None, cfg=None, kv_bits: int = 16) -> str:
 
 def _kernel_attention_tp(num_kv_heads: int, qs, cache: PagedKVCache, li,
                          lens, table, k_cur, v_cur, mesh,
-                         win=None, w_live=None):
+                         w_live=None, return_stats: bool = False):
     """Fused paged attention under a TP mesh: shard_map over "model".
 
     The pools are head-sharded (kv_cache sharding in Engine.__init__)
@@ -145,7 +154,9 @@ def _kernel_attention_tp(num_kv_heads: int, qs, cache: PagedKVCache, li,
     ``kvh/tp`` complete KV-head groups plus their q heads — attention
     is fully local, zero collectives; each shard runs the same Pallas
     kernel on its slice (mirrors quantized_matmul_tp's routing of the
-    dequant matmuls, tgq.parallel.mesh)."""
+    dequant matmuls, tgq.parallel.mesh).  With ``return_stats`` each
+    shard's (o, m, l) flash partials stay head-sharded; the caller's
+    window merge is elementwise per head so GSPMD keeps it local."""
     from functools import partial
 
     from jax.sharding import PartitionSpec as P
@@ -156,8 +167,6 @@ def _kernel_attention_tp(num_kv_heads: int, qs, cache: PagedKVCache, li,
     kvh_local = num_kv_heads // tp
     opt = lambda a, spec: None if a is None else spec  # noqa: E731
 
-    has_win = win is not None
-    wk, wks, wv, wvs = win if has_win else (None, None, None, None)
     in_specs = (
         P(None, "model", None),                       # q (slots, H, d)
         P(None, None, None, "model"),                 # k pools
@@ -169,24 +178,21 @@ def _kernel_attention_tp(num_kv_heads: int, qs, cache: PagedKVCache, li,
         P(),                                          # page table
         opt(k_cur, P(None, "model")),                 # current-token K
         opt(v_cur, P(None, "model")),                 # current-token V
-        opt(wk, P(None, None, None, "model")),        # window K codes
-        opt(wks, P(None, None, "model", None)),       # window K scales
-        opt(wv, P(None, None, None, "model")),        # window V codes
-        opt(wvs, P(None, None, "model", None)),       # window V scales
         opt(w_live, P()),                             # window live count
     )
+    head_spec = P(None, "model", None)
+    out_specs = ((head_spec, head_spec, head_spec) if return_stats
+                 else head_spec)
 
     @partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
-             out_specs=P(None, "model", None), check_vma=False)
-    def f(q, k, v, ks, vs, li, lens, table, kc, vc, wk, wks, wv, wvs, wl):
+             out_specs=out_specs, check_vma=False)
+    def f(q, k, v, ks, vs, li, lens, table, kc, vc, wl):
         return paged_decode_attention(
             q, k, v, ks, vs, li, lens, table, kc, vc,
-            window=None if wk is None else (wk, wks, wv, wvs),
-            w_live=wl, num_kv_heads=kvh_local)
+            w_live=wl, num_kv_heads=kvh_local, return_stats=return_stats)
 
     return f(qs, cache.k, cache.v, cache.ks, cache.vs,
              jnp.asarray(li, jnp.int32), lens, table, k_cur, v_cur,
-             wk, wks, wv, wvs,
              None if w_live is None else jnp.asarray(w_live, jnp.int32))
 
 
@@ -221,61 +227,111 @@ def _gather_attention(cfg: ModelConfig, q, cache, li, table, lens):
                       ).reshape(slots, cfg.num_heads, cfg.head_dim)
 
 
-def _window_rows(cache: PagedKVCache, win, li, which: int, dtype):
-    """Dequantize layer ``li`` of a chunk window: (slots, W, kvh, d),
-    with the pool eq multiplied back — same value the pools would
-    return after the flush."""
-    from tgq.serve.kv_cache import kv_unpack4
+def _window_partial(q_scaled, win, li, w_live, num_kv_heads: int):
+    """Flash partials (acc, m, l) of attention over a chunk window's
+    raw rows for layer ``li``.
 
-    arr = win[2 * which]          # codes  (L, slots, W, stored)
-    sc = win[2 * which + 1]       # scales (L, slots, kvh, wpad) | None
-    eq = cache.v_eq if which else cache.k_eq
-    kvh, d = cache.num_kv_heads, cache.head_dim
-    w = arr[li]
-    if cache.kv_bits == 4:
-        w = kv_unpack4(w, dtype)
-    slots, W = w.shape[0], w.shape[1]
-    w = w.reshape(slots, W, kvh, d).astype(dtype)
-    if sc is not None:
-        s = jnp.swapaxes(sc[li][:, :, :W], 1, 2)  # (slots, W, kvh)
-        w = w * s[..., None].astype(dtype)
-        if eq is not None:
-            w = w * eq[li].reshape(kvh, d).astype(dtype)
-    return w
+    The window (tgq.serve.kv_cache.window_init) carries this chunk's
+    already-decoded K/V rows RAW (bf16, un-equalized) — it is read here
+    with plain XLA ops and written with one dynamic-update-slice per
+    step, never touching the Pallas kernel, so XLA updates it in place
+    across the decode scan (a custom-call operand that is also a DUS
+    target gets defensively copied every step — the r3 in-kernel window
+    cost ~4 ms/step at 128 slots).  q_scaled: (slots, H, d) f32 with
+    the 1/sqrt(d) factor and WITHOUT the KV-equalizer fold (raw rows
+    need the raw query).  Returns acc (slots, H, d) f32 UN-normalized,
+    m/l (slots, H, 1) f32 — merge with the kernel's partials via
+    ``_merge_partials``."""
+    from tgq.kernels.paged_attention import DEFAULT_MASK_VALUE
+
+    wk, wv = win
+    slots, H, d = q_scaled.shape
+    kvh = num_kv_heads
+    rep = H // kvh
+    W = wk.shape[3]
+    # ONE MXU-shaped batched matmul per layer: contract the FULL query
+    # head block against every kv head's window rows — (s, H, d) @
+    # (s, kvh·W, d)ᵀ — and let the softmax mask kill the off-group
+    # (k' != k) logits.  The p it produces is exactly zero off-group,
+    # so the AV matmul needs no diagonal extraction either.  The
+    # per-(slot, kv-head) GQA einsum form lowered to 1024 tiny
+    # (rep × d)·(d × W) dots + window transposes — measured ~4.6
+    # ms/step of the composed decode at 128 slots; this form is
+    # (32 × 128)·(128 × 128) per slot, bf16 single-pass.
+    kw = wk[li].reshape(slots, kvh * W, d)
+    vw = wv[li].reshape(slots, kvh * W, d)
+    q_bf = q_scaled.astype(jnp.bfloat16)
+    logits = jax.lax.dot_general(
+        q_bf, kw, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)       # (s, H, kvh*W)
+    view = logits.reshape(slots, kvh, rep, kvh, W)
+    k_own = jax.lax.broadcasted_iota(jnp.int32, view.shape, 1)
+    k_row = jax.lax.broadcasted_iota(jnp.int32, view.shape, 3)
+    wcol = jax.lax.broadcasted_iota(jnp.int32, view.shape, 4)
+    valid = (k_own == k_row) & (wcol < w_live)
+    logits = jnp.where(valid, view, DEFAULT_MASK_VALUE).reshape(
+        slots, H, kvh * W)
+    m = logits.max(axis=-1, keepdims=True)        # (s, H, 1)
+    p = jnp.exp(logits - m)
+    l = p.sum(axis=-1, keepdims=True)
+    acc = jax.lax.dot_general(
+        p.astype(jnp.bfloat16), vw, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)       # (s, H, d)
+    return acc, m, l
+
+
+def _merge_partials(a, b):
+    """Exact merge of two flash-softmax partials (acc, m, l) → the
+    normalized attention output.  Masked-empty sides carry the finite
+    DEFAULT_MASK_VALUE max, so their exp underflows to zero instead of
+    producing -inf - -inf NaNs."""
+    acc_a, m_a, l_a = a
+    acc_b, m_b, l_b = b
+    m = jnp.maximum(m_a, m_b)
+    ca = jnp.exp(m_a - m)
+    cb = jnp.exp(m_b - m)
+    l = ca * l_a + cb * l_b
+    return (ca * acc_a + cb * acc_b) / jnp.maximum(l, 1e-30)
 
 
 def _gather_attention_window(cfg: ModelConfig, q, cache, li, table, lens,
                              win, w_live, k_cur, v_cur):
     """Gather fallback for chunk-window decoding: pools (read-only,
-    tokens [0, lens-1-w_live)) + window (w_live quantized rows) + the
-    exact current-token row.  Same values as kernel-path attention."""
+    tokens [0, lens-1-w_live)) + the exact current-token row as one
+    masked softmax block, merged with the SAME `_window_partial` the
+    kernel path uses — so gather vs kernel differ only in the pool
+    block's arithmetic, exactly as in non-window decoding."""
+    from tgq.kernels.paged_attention import DEFAULT_MASK_VALUE
+
     slots = q.shape[0]
     kvh, d = cfg.num_kv_heads, cfg.head_dim
     kg, vg = kv_gather(cache, li, table)          # (slots, T, kvh, d)
-    kw = _window_rows(cache, win, li, 0, kg.dtype)
-    vw = _window_rows(cache, win, li, 1, vg.dtype)
     # k_cur/v_cur are the RAW current-token rows (no eq division)
     kc = k_cur.reshape(slots, 1, kvh, d).astype(kg.dtype)
     vc = v_cur.reshape(slots, 1, kvh, d).astype(vg.dtype)
     T = kg.shape[1]
-    W = kw.shape[1]
-    k_all = jnp.concatenate([kg, kw, kc], axis=1)
-    v_all = jnp.concatenate([vg, vw, vc], axis=1)
-    t_ids = jnp.arange(T + W + 1)[None, :]
+    k_all = jnp.concatenate([kg, kc], axis=1)
+    v_all = jnp.concatenate([vg, vc], axis=1)
+    t_ids = jnp.arange(T + 1)[None, :]
     pool_len = (lens - 1 - w_live)[:, None]
-    valid = jnp.where(
-        t_ids < T, t_ids < pool_len,
-        jnp.where(t_ids < T + W, (t_ids - T) < w_live, True))
+    valid = jnp.where(t_ids < T, t_ids < pool_len, True)
     rep = cfg.num_heads // kvh
     qg = q.reshape(slots, kvh, rep, d)
     scale = 1.0 / jnp.sqrt(jnp.float32(d))
     logits = jnp.einsum("skgd,stkd->skgt", qg.astype(k_all.dtype), k_all,
                         preferred_element_type=jnp.float32) * scale
-    probs = jax.nn.softmax(
-        jnp.where(valid[:, None, None, :], logits, -1e30), axis=-1)
-    return jnp.einsum("skgt,stkd->skgd", probs.astype(v_all.dtype), v_all,
-                      preferred_element_type=jnp.float32
-                      ).reshape(slots, cfg.num_heads, d)
+    logits = jnp.where(valid[:, None, None, :], logits, DEFAULT_MASK_VALUE)
+    m = logits.max(axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    l = p.sum(axis=-1, keepdims=True)
+    acc = jnp.einsum("skgt,stkd->skgd", p.astype(v_all.dtype), v_all,
+                     preferred_element_type=jnp.float32)
+    H = cfg.num_heads
+    pool_part = (acc.reshape(slots, H, d), m.reshape(slots, H, 1),
+                 l.reshape(slots, H, 1))
+    qs = (q.astype(jnp.float32) * scale)
+    return _merge_partials(
+        pool_part, _window_partial(qs, win, li, w_live, kvh))
 
 
 def _decode_layer(lp, li, cfg: ModelConfig, x, cache: PagedKVCache,
@@ -316,6 +372,7 @@ def _decode_layer(lp, li, cfg: ModelConfig, x, cache: PagedKVCache,
                    v.reshape(slots, -1).astype(jnp.float32))
         scale = 1.0 / jnp.sqrt(jnp.float32(cfg.head_dim))
         qs = (q * scale).astype(jnp.float32)
+        q_raw = qs  # pre-equalizer query for the raw-row window block
         k_cur, v_cur = kv_rows
         rep = cfg.num_heads // cfg.num_kv_heads
         if cache.k_eq is not None:
@@ -331,22 +388,40 @@ def _decode_layer(lp, li, cfg: ModelConfig, x, cache: PagedKVCache,
         from tgq.parallel.mesh import serving_mesh
 
         mesh = serving_mesh()
+        stats = win is not None
         if mesh is not None and mesh.shape.get("model", 1) > 1:
             attn = _kernel_attention_tp(cfg.num_kv_heads, qs, cache, li,
                                         lens, table, k_cur, v_cur, mesh,
-                                        win=win, w_live=w_live)
+                                        w_live=w_live, return_stats=stats)
         else:
             attn = paged_decode_attention(
                 qs, cache.k, cache.v,
                 cache.ks, cache.vs, li, lens, table,
                 k_cur, v_cur,
-                window=win, w_live=w_live,
-                num_kv_heads=cfg.num_kv_heads)
-        if cache.v_eq is not None:
-            # stored rows are V/eq ⇒ the weighted sum scales back per channel
-            attn = (attn.reshape(slots, cfg.num_kv_heads, rep, cfg.head_dim)
-                    * cache.v_eq[li].reshape(cfg.num_kv_heads, 1, cfg.head_dim)
+                w_live=w_live,
+                num_kv_heads=cfg.num_kv_heads, return_stats=stats)
+        def _veq_scale(a):
+            # stored rows are V/eq ⇒ the weighted sum scales back per
+            # channel.  Exact on the UN-normalized accumulator too (it
+            # is linear in V) — in stats mode this must apply to the
+            # kernel partial ONLY, never the raw-row window block.
+            return (a.reshape(slots, cfg.num_kv_heads, rep, cfg.head_dim)
+                    * cache.v_eq[li].reshape(cfg.num_kv_heads, 1,
+                                             cfg.head_dim)
                     ).reshape(slots, cfg.num_heads, cfg.head_dim)
+
+        if stats:
+            # merge the kernel's pool+current partials with the raw
+            # chunk-window softmax block computed in XLA
+            acc_k, m_k, l_k = attn
+            if cache.v_eq is not None:
+                acc_k = _veq_scale(acc_k)
+            attn = _merge_partials(
+                (acc_k, m_k, l_k),
+                _window_partial(q_raw, win, li, w_live,
+                                cfg.num_kv_heads))
+        elif cache.v_eq is not None:
+            attn = _veq_scale(attn)
     elif win is not None:
         kv_rows = (k.reshape(slots, -1).astype(jnp.float32),
                    v.reshape(slots, -1).astype(jnp.float32))
@@ -529,11 +604,13 @@ def decode_steps(params, cache: PagedKVCache, cfg: ModelConfig,
         return toks, cache, key
 
     # chunk-window mode: the pools are SCAN-INVARIANT — per-step rows
-    # land in a small window (same quantized format) that the attention
-    # reads alongside the pools, and ONE flush scatter runs after the
-    # scan.  The per-step scatter forced XLA to copy the pools every
-    # step (custom-call operand + scatter target): ~9 ms/step at 128
-    # slots, the single largest decode cost after the weight reads.
+    # land in a small RAW bf16 window read only by XLA attention
+    # (_window_partial) and written with one DUS per step, and ONE
+    # quantize+flush scatter runs after the scan.  The per-step scatter
+    # forced XLA to copy the pools every step (custom-call operand +
+    # scatter target): ~9 ms/step at 128 slots; the r3 quantized
+    # in-kernel window re-created the same copy at window scale
+    # (~4 ms/step) because the window itself was a kernel operand.
     pos0 = pos
 
     def step(carry, _):
@@ -541,7 +618,7 @@ def decode_steps(params, cache: PagedKVCache, cfg: ModelConfig,
         logits, _, rows = _decode_core(params, cache, cfg, table, lens,
                                        tok, pos, attn_impl,
                                        win=win, w_live=i)
-        win = window_write_step(win, i, cache, rows[0], rows[1])
+        win = window_write_step(win, i, rows[0], rows[1])
         tok, key = _sample_tokens(logits, temps, key, greedy_only)
         return (win, tok, lens + 1, pos + 1, key, i + 1), tok
 

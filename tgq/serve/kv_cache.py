@@ -464,97 +464,86 @@ def kv_gather(cache: PagedKVCache, layer, table: jax.Array,
 # ----------------------------------------------------- chunk window
 #
 # decode_steps keeps the multi-GB page pools SCAN-INVARIANT: per-step
-# K/V rows land in this small layer-stacked window (same quantized
-# format as the pools — same absmax scales, same nibble packing) and
-# flush to the pools with ONE scatter per chunk.  Measured at 128
-# slots, the per-step scatter cost ~9 ms/step — not the scatter itself
-# (a scatter into pools the kernels don't read is ~1 ms) but XLA
-# copying the pools every step because they were simultaneously
-# custom-call (attention kernel) operands and scatter targets.
+# K/V rows land in this small layer-stacked window of RAW bf16 rows
+# and flush to the pools (quantizing once, if the pools are quantized)
+# with ONE scatter per chunk.  Measured at 128 slots, the per-step
+# pool scatter cost ~9 ms/step — not the scatter itself (a scatter
+# into pools the kernels don't read is ~1 ms) but XLA copying the
+# pools every step because they were simultaneously custom-call
+# (attention kernel) operands and scatter targets.  The round-3 window
+# was quantized in the pool format and read BY the kernel — recreating
+# the same defensive copy at window scale (~4 ms/step).  This window
+# is therefore raw and strictly XLA-side: written by one DUS per step,
+# read only by tgq.serve.decode._window_partial's einsums, so XLA
+# keeps it in place across the scan.
 
 
 def window_init(cache: PagedKVCache, slots: int, w: int):
-    """(wk, wks, wv, wvs) zeros: codes (L, slots, w, stored_fused) in
-    the pool dtype; scales (L, slots, kvh, wpad) f32 (lane-padded like
-    the pool scales).  wks/wvs are None for bf16 pools."""
+    """(wk, wv) zeros of shape (L, slots, kvh, w, d) bf16 — raw
+    (un-equalized, unquantized) K/V rows for one decode chunk.  The
+    kv-head axis precedes the token axis so the window attention's
+    batched matmuls (tgq.serve.decode._window_partial) read each
+    layer's rows as a contiguous (slots, kvh·w, d) operand with no
+    transpose."""
     L = cache.k.shape[0]
-    stored = cache.k.shape[-1]
-    wk = jnp.zeros((L, slots, w, stored), cache.k.dtype)
-    wv = jnp.zeros((L, slots, w, stored), cache.v.dtype)
-    if cache.ks is None:
-        return (wk, None, wv, None)
-    # scales (L, slots, kvh, w) — the kernel reads these as regular
-    # BlockSpec pipeline blocks (Mosaic pads lanes internally), unlike
-    # the pool scales whose manual DMA slices need 128-aligned lane
-    # extents; keeping the array at width w (16ish) instead of 128
-    # saves ~8x of the scan-carried scale traffic
-    kvh = cache.ks.shape[2]
-    return (wk, jnp.zeros((L, slots, kvh, w), jnp.float32),
-            wv, jnp.zeros((L, slots, kvh, w), jnp.float32))
+    kvh, d = cache.num_kv_heads, cache.head_dim
+    wk = jnp.zeros((L, slots, kvh, w, d), jnp.bfloat16)
+    wv = jnp.zeros((L, slots, kvh, w, d), jnp.bfloat16)
+    return (wk, wv)
 
 
-def window_write_step(win, i, cache: PagedKVCache, k_all: jax.Array,
-                      v_all: jax.Array):
-    """Quantize one step's rows for ALL layers into window column ``i``.
-
-    k_all/v_all: (L, slots, kvh, d) raw rows; equalizers and absmax
-    scales applied exactly as kv_write_token_all would, so the flushed
-    pools are bit-identical to the per-step scatter path."""
-    wk, wks, wv, wvs = win
-    L, slots = k_all.shape[:2]
-    if wks is None:
-        kf = k_all.reshape(L, slots, 1, -1).astype(wk.dtype)
-        vf = v_all.reshape(L, slots, 1, -1).astype(wv.dtype)
-        return (jax.lax.dynamic_update_slice_in_dim(wk, kf, i, axis=2),
-                None,
-                jax.lax.dynamic_update_slice_in_dim(wv, vf, i, axis=2),
-                None)
-    quant = _absmax_quantize4 if cache.kv_bits == 4 else _absmax_quantize
-    qk, sk = quant(_eq_div_all(k_all, cache.k_eq))  # codes, (L, slots, kvh)
-    qv, sv = quant(_eq_div_all(v_all, cache.v_eq))
-    wk = jax.lax.dynamic_update_slice_in_dim(
-        wk, qk.reshape(L, slots, 1, -1), i, axis=2)
-    wv = jax.lax.dynamic_update_slice_in_dim(
-        wv, qv.reshape(L, slots, 1, -1), i, axis=2)
-    wks = jax.lax.dynamic_update_slice_in_dim(
-        wks, sk[..., None], i, axis=3)
-    wvs = jax.lax.dynamic_update_slice_in_dim(
-        wvs, sv[..., None], i, axis=3)
-    return (wk, wks, wv, wvs)
+def window_write_step(win, i, k_all: jax.Array, v_all: jax.Array):
+    """Write one step's raw rows for ALL layers into window column
+    ``i``.  k_all/v_all: (L, slots, kvh, d) raw rows."""
+    wk, wv = win
+    L, slots, kvh, d = k_all.shape
+    kf = k_all.reshape(L, slots, kvh, 1, d).astype(wk.dtype)
+    vf = v_all.reshape(L, slots, kvh, 1, d).astype(wv.dtype)
+    return (jax.lax.dynamic_update_slice_in_dim(wk, kf, i, axis=3),
+            jax.lax.dynamic_update_slice_in_dim(wv, vf, i, axis=3))
 
 
 def window_flush(cache: PagedKVCache, win, table: jax.Array,
                  pos0: jax.Array, n: int) -> PagedKVCache:
-    """Scatter the window's first ``n`` columns into the pools — ONE
-    aliasing event per chunk instead of per step.
+    """Quantize (when the pools are quantized) and scatter the window's
+    first ``n`` columns into the pools — ONE aliasing event per chunk
+    instead of per step.
 
     table: (slots, mpps); pos0: (slots,) position of window column 0
-    (= the chunk's first decoded token).  Codes/scales are already
-    quantized; this is a pure data movement."""
-    wk, wks, wv, wvs = win
+    (= the chunk's first decoded token).  Equalizers and absmax scales
+    apply exactly as kv_write_token_all would (the only delta vs the
+    per-step scatter path is the bf16 rounding of the staged rows)."""
+    wk, wv = win
     L, slots = wk.shape[:2]
+    kvh, d = cache.num_kv_heads, cache.head_dim
     page = cache.page_size
     j = jnp.arange(n, dtype=jnp.int32)
     pos = pos0[:, None] + j[None, :]                  # (slots, n)
     pages = jnp.take_along_axis(table, pos // page, axis=1)  # (slots, n)
     offsets = (pos % page).reshape(-1)
     pages = pages.reshape(-1)
-    kf = wk[:, :, :n].reshape(L, slots * n, -1)
-    vf = wv[:, :, :n].reshape(L, slots * n, -1)
-    out = dataclasses.replace(
-        cache,
-        k=cache.k.at[:, pages, offsets].set(kf),
-        v=cache.v.at[:, pages, offsets].set(vf),
-    )
-    if wks is None:
-        return out
+    # window is (L, slots, kvh, W, d): bring tokens ahead of heads
+    k_rows = wk[:, :, :, :n].transpose(0, 1, 3, 2, 4).reshape(
+        L, slots * n, kvh, d).astype(jnp.float32)
+    v_rows = wv[:, :, :, :n].transpose(0, 1, 3, 2, 4).reshape(
+        L, slots * n, kvh, d).astype(jnp.float32)
+    if cache.ks is None:
+        return dataclasses.replace(
+            cache,
+            k=cache.k.at[:, pages, offsets].set(
+                k_rows.reshape(L, slots * n, -1).astype(cache.k.dtype)),
+            v=cache.v.at[:, pages, offsets].set(
+                v_rows.reshape(L, slots * n, -1).astype(cache.v.dtype)),
+        )
+    quant = _absmax_quantize4 if cache.kv_bits == 4 else _absmax_quantize
+    qk, sk = quant(_eq_div_all(k_rows, cache.k_eq))  # codes, (L, s·n, kvh)
+    qv, sv = quant(_eq_div_all(v_rows, cache.v_eq))
     # ks (L, P, kvh, spad) at [:, pages, :, offsets]: advanced indices
     # in dims 1 and 3 → update shape (slots·n, L, kvh)
-    kvh = cache.ks.shape[2]
-    sk = wks[:, :, :, :n].transpose(1, 3, 0, 2).reshape(slots * n, L, kvh)
-    sv = wvs[:, :, :, :n].transpose(1, 3, 0, 2).reshape(slots * n, L, kvh)
     return dataclasses.replace(
-        out,
-        ks=cache.ks.at[:, pages, :, offsets].set(sk),
-        vs=cache.vs.at[:, pages, :, offsets].set(sv),
+        cache,
+        k=cache.k.at[:, pages, offsets].set(qk.reshape(L, slots * n, -1)),
+        v=cache.v.at[:, pages, offsets].set(qv.reshape(L, slots * n, -1)),
+        ks=cache.ks.at[:, pages, :, offsets].set(sk.transpose(1, 0, 2)),
+        vs=cache.vs.at[:, pages, :, offsets].set(sv.transpose(1, 0, 2)),
     )

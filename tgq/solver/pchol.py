@@ -161,11 +161,18 @@ def _pivoted_cholesky_pallas(h: jax.Array, panel: int = 128,
     return lt, perm, dhist, pivhist
 
 
+def _uses_pallas_sweep(n: int, panel: int) -> bool:
+    """True when _sweep will run the Pallas panel kernel, whose Schur
+    updates use BF16_BF16_F32_X3 MXU arithmetic (vs the jit sweep's
+    exact f32) — the pivot-noise floor differs by ~100x between them."""
+    return (jax.default_backend() == "tpu" and panel == 128
+            and n % 128 == 0 and n >= 256)
+
+
 def _sweep(h: jax.Array, panel: int):
     """Backend-selected pivoted-Cholesky sweep."""
     n = h.shape[0]
-    if jax.default_backend() == "tpu" and panel == 128 and n % 128 == 0 \
-            and n >= 256:
+    if _uses_pallas_sweep(n, panel):
         return _pivoted_cholesky_pallas(h, panel=panel)
     return _pivoted_cholesky_jit(h, panel=panel)
 
@@ -267,7 +274,7 @@ def _pchol_factors_jit(lt: jax.Array, perm: jax.Array, rank: jax.Array,
 
 
 def pchol_factor(
-    h, eps: float = 1e-6, panel: int = 128, pivot_rtol: float = 1e-4,
+    h, eps: float = 1e-6, panel: int = 128, pivot_rtol: float = None,
     want_rx: bool = True,
 ) -> FactorResult:
     """TruncGPTQ factorization via pivoted Cholesky (TPU fast path).
@@ -279,16 +286,19 @@ def pchol_factor(
     ``pivot_rtol``: numerical-rank guard — pivots below rtol × the first
     pivot are unresolvable by the sweep's arithmetic (LAPACK pstrf-style
     breakdown stop); columns beyond that degrade to RTN regardless of
-    ``eps``.  The default 1e-4 sits above the BF16_BF16_F32_X3 Schur
-    noise floor (~n·1e-7 of the top pivot after rank exhaustion —
-    measured on-chip: with 1e-6 a truly rank-20 matrix read rank ≈ n
-    natively and the H⁺ factor build went ill-conditioned, while CPU
-    exact-f32 runs read it correctly).  A pivot 1e-4 below the max
-    carries negligible conditional variance, so its RTN fallback is
-    quality-neutral.
+    ``eps``.  The default is keyed to the arithmetic the sweep actually
+    uses (advisor r3): **1e-4** for the Pallas panel kernel, whose
+    BF16_BF16_F32_X3 Schur updates leave a ~n·1e-7-of-top-pivot noise
+    floor after rank exhaustion (measured on-chip: at 1e-6 a truly
+    rank-20 matrix read rank ≈ n and the H⁺ factor build went
+    ill-conditioned); **1e-6** for the exact-f32 jit sweep (CPU and
+    off-tile shapes), where pivots between 1e-6 and 1e-4 are genuine
+    and degrading them to RTN would be a silent quality loss.
     """
     h = jnp.asarray(h)
     n = h.shape[0]
+    if pivot_rtol is None:
+        pivot_rtol = 1e-4 if _uses_pallas_sweep(n, panel) else 1e-6
     lt, perm, dhist, pivhist = _sweep(h, panel=panel)
     pivhist = np.asarray(pivhist, np.float64)
     if pivhist[0] <= 0.0:
