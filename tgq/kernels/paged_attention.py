@@ -46,35 +46,61 @@ DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 class _BlockCopy:
-    """Async HBM→VMEM copy of ``ppb`` consecutive slot-pages (K or V,
-    + scales).  All ``ppb`` copies are issued back-to-back on one
+    """Async HBM→VMEM copy of up to ``ppb`` consecutive slot-pages
+    (K or V, + scales).  All copies are issued back-to-back on one
     semaphore so the DMA engine keeps them in flight together — at
     page-sized granularity the loop is issue-latency-bound, not
     bandwidth-bound, and batching pages per wait is what buys the
-    bandwidth back."""
+    bandwidth back.
+
+    ``n_live`` is the number of LIVE pages in this block (≥1, ≤ ppb):
+    page j is copied (and waited) only when ``j < n_live``.  Without
+    the guard the tail block of every sequence copied a full ``ppb``
+    pages of clamped garbage — at a 256-token block, a 257-token pool
+    DMA'd 512 tokens' worth of pages, a measured +4 ms/step cliff at
+    128 slots the moment contexts crossed the block multiple."""
 
     def __init__(self, pool_ref, scales_ref, vmem, scales_vmem, sem,
-                 page_indices_ref, base_idx, pps, page_size, ppb, layer):
+                 page_indices_ref, base_idx, pps, page_size, ppb, layer,
+                 n_live):
         self._copies = []
+        self._n_live = n_live
+        self._scales_vmem = scales_vmem
         for j in range(ppb):
-            # clamp: the tail block of a short sequence re-reads a valid
-            # page; its tokens are masked out of the softmax anyway
+            # clamp: dead trailing entries still index a valid page
+            # (they are never started; the clamp keeps the address
+            # computation in range)
             idx = jnp.minimum(base_idx + j, pps - 1)
             p = page_indices_ref[idx]
-            self._copies.append(pltpu.make_async_copy(
+            pair = [pltpu.make_async_copy(
                 pool_ref.at[layer, p],
-                vmem.at[pl.ds(j * page_size, page_size)], sem))
+                vmem.at[pl.ds(j * page_size, page_size)], sem)]
             if scales_ref is not None:
-                self._copies.append(pltpu.make_async_copy(
+                pair.append(pltpu.make_async_copy(
                     scales_ref.at[layer, p], scales_vmem.at[j], sem))
+            self._copies.append(pair)
 
     def start(self):
-        for c in self._copies:
-            c.start()
+        for j, pair in enumerate(self._copies):
+            @pl.when(j < self._n_live)
+            def _(pair=pair):
+                for c in pair:
+                    c.start()
+            if self._scales_vmem is not None:
+                # dead entries keep whatever the previous block left in
+                # VMEM; stale f32 could be NaN/Inf and 0·NaN would leak
+                # through the softmax's zero probabilities — zero them
+                @pl.when(j >= self._n_live)
+                def _(j=j):
+                    self._scales_vmem[j] = jnp.zeros_like(
+                        self._scales_vmem[j])
 
     def wait(self):
-        for c in self._copies:
-            c.wait()
+        for j, pair in enumerate(self._copies):
+            @pl.when(j < self._n_live)
+            def _(pair=pair):
+                for c in pair:
+                    c.wait()
 
 
 def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
@@ -82,9 +108,12 @@ def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
             q_ref, k_ref, ks_ref, v_ref, vs_ref,
             kc_ref, vc_ref,
             o_ref, m_ref, l_ref,
-            k_vmem, ks_vmem, v_vmem, vs_vmem, k_sems, v_sems, *,
+            k_out_ref, ks_out_ref, v_out_ref, vs_out_ref,
+            k_vmem, ks_vmem, v_vmem, vs_vmem, k_sems, v_sems,
+            kw_blk, vw_blk, ksw_tile, vsw_tile, w_sems, *,
             batch_size: int, pages_per_sequence: int, num_kv_heads: int,
             pages_per_block: int, int4: bool, has_window: bool,
+            write_current: bool,
             mask_value: float, attn_logits_soft_cap: float | None):
     b = pl.program_id(0)
     ppb = pages_per_block
@@ -106,6 +135,15 @@ def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
     # two softmaxes exactly.  Keeping the window OUT of the kernel is
     # what stops XLA copying it every step (a custom-call operand that
     # is also a per-step DUS target gets defensively copied).
+    # pool pass-through outputs (alias_pools): the SAME buffers as the
+    # pool inputs.  Without write_current the kernel never touches them
+    # — they exist so the caller's scatter updates the kernel's own
+    # (aliased) output in place instead of forcing XLA to defensively
+    # copy a multi-GB custom-call operand that is also a scatter target
+    # (measured ~13 ms/step at 128 slots for the layout copies).  With
+    # write_current the kernel itself stores the current token's
+    # quantized row+scale into them (see the RMW block below) and the
+    # caller does no pool writes at all.
     has_current = kc_ref is not None
     w_live = w_live_ref[0] if has_window else 0
     return_stats = m_ref is not None
@@ -139,15 +177,56 @@ def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
     def make_copies(b, i, buf):
         base = b * pages_per_sequence + i * ppb
         pps_end = (b + 1) * pages_per_sequence
+        # live pages of this block: the tail block only copies what the
+        # pool actually holds (page-granular), not a full ppb of
+        # clamped garbage
+        live_pages = lax.div(pool_len_of(b) + page_size - 1, page_size)
+        n_live = live_pages - i * ppb
         ck = _BlockCopy(k_ref, ks_ref, k_vmem.at[buf],
                         None if ks_vmem is None else ks_vmem.at[buf],
                         k_sems.at[buf], page_indices_ref, base, pps_end,
-                        page_size, ppb, layer)
+                        page_size, ppb, layer, n_live)
         cv = _BlockCopy(v_ref, vs_ref, v_vmem.at[buf],
                         None if vs_vmem is None else vs_vmem.at[buf],
                         v_sems.at[buf], page_indices_ref, base, pps_end,
-                        page_size, ppb, layer)
+                        page_size, ppb, layer, n_live)
         return ck, cv
+
+    # ---- in-kernel current-token pool write (write_current) --------
+    # The row lands at (layer, wpage, woff).  TPU sublane tiling only
+    # allows 8-row-aligned page slices, so this is a read-modify-write
+    # of the 8-row block containing woff (and of the page's full scale
+    # tile): DMA in, overwrite one row/lane, DMA back.  The reads are
+    # issued HERE so they overlap the attention block loop; the
+    # write-back happens strictly AFTER the loop has consumed its last
+    # block (rows < length-1 are rewritten with identical bytes; row
+    # length-1 itself is masked out of this step's softmax and folded
+    # from registers instead).  Replacing the XLA per-layer scatters
+    # (serialized row loops, ~2 ms/step at 128 slots) with four small
+    # DMAs per live program.
+    if write_current:
+        last = jnp.maximum(length - 1, 0)
+        wpage = page_indices_ref[b * pages_per_sequence
+                                 + lax.div(last, page_size)]
+        woff = lax.rem(last, page_size)
+        wblk = lax.div(woff, 8) * 8
+        rmw_k_in = pltpu.make_async_copy(
+            k_ref.at[layer, wpage, pl.ds(wblk, 8)], kw_blk, w_sems.at[0])
+        rmw_v_in = pltpu.make_async_copy(
+            v_ref.at[layer, wpage, pl.ds(wblk, 8)], vw_blk, w_sems.at[1])
+        if quantized:
+            rmw_ks_in = pltpu.make_async_copy(
+                ks_ref.at[layer, wpage], ksw_tile, w_sems.at[2])
+            rmw_vs_in = pltpu.make_async_copy(
+                vs_ref.at[layer, wpage], vsw_tile, w_sems.at[3])
+
+        @pl.when(length > 0)
+        def _():
+            rmw_k_in.start()
+            rmw_v_in.start()
+            if quantized:
+                rmw_ks_in.start()
+                rmw_vs_in.start()
 
     # block-diagonal queries: Q'[h, g(h)*d:(g(h)+1)*d] = q[h]
     q = q_ref[...].astype(jnp.float32)           # (H, d)
@@ -157,24 +236,29 @@ def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
         // head_dim
     qd = jnp.where(row_g == lane_g, q_tiled, 0.0)           # (H, kvh*d)
 
-    def expand_rows(s):
-        """(ppb, kvh, spad) → (H, ppb·page): per page, repeat each KV
-        head's scale row `group`×, dropping the 128-lane DMA padding;
-        pages concatenate along lanes to match the block's logits.
+    # group-selector matrix for scale expansion: E[h, g] = 1 iff q-head
+    # h reads KV head g.  Expanding the per-head scale rows to (H,
+    # block) is then ONE tiny MXU dot E @ S instead of H slice-concats
+    # per page — the concat chain was the dominant per-block VPU cost
+    # (~0.8 µs/program/block at 128 slots; jnp.repeat was worse still,
+    # +5 ms/step, Mosaic lowers it through memory)
+    sel_rows = lax.broadcasted_iota(
+        jnp.int32, (num_q_heads, num_kv_heads), 0) // group
+    sel_cols = lax.broadcasted_iota(
+        jnp.int32, (num_q_heads, num_kv_heads), 1)
+    sel_mat = (sel_rows == sel_cols).astype(jnp.float32)
 
-        The single-row slice-concat loop IS the fast Mosaic idiom here:
-        replacing it (and the window-scale expands) with one sublane
-        ``jnp.repeat`` measured +5 ms/step at 128 slots on v5e —
-        Mosaic lowers the repeat far worse than the concat chain."""
-        per_page = []
-        for j in range(ppb):
+    def expand_rows(s):
+        """(ppb, kvh, spad) → (H, ppb·page) via the selector dot,
+        dropping the 128-lane DMA padding of the scale rows."""
+        if ppb > 1:
             rows = jnp.concatenate(
-                [s[j, g:g + 1]
-                 for g in range(num_kv_heads) for _ in range(group)],
-                axis=0)
-            per_page.append(
-                rows[:, :page_size] if rows.shape[1] != page_size else rows)
-        return jnp.concatenate(per_page, axis=1) if ppb > 1 else per_page[0]
+                [s[j, :, :page_size] for j in range(ppb)], axis=1)
+        else:
+            rows = s[0, :, :page_size]
+        return jax.lax.dot_general(
+            sel_mat, rows, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     def _unpack(w):
         """VMEM block → f32 (ppb·page, fused).  int4 pools store
@@ -224,7 +308,9 @@ def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
         if attn_logits_soft_cap is not None:
             qk = jnp.tanh(qk / attn_logits_soft_cap) * attn_logits_soft_cap
         t = i * block + lax.broadcasted_iota(jnp.int32, qk.shape, 1)
-        qk = qk + jnp.where(t < pool_len_of(b), 0.0, mask_value)
+        # SELECT-mask (not additive): dead-page lanes hold stale VMEM,
+        # whose logits may be NaN — select replaces them outright
+        qk = jnp.where(t < pool_len_of(b), qk, mask_value)
 
         m_curr = qk.max(axis=-1)[:, None]        # (H, 1)
         m_next = jnp.maximum(m_prev, m_curr)
@@ -235,8 +321,15 @@ def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
         cv.wait()
         v = _unpack(v_vmem[buf])                 # (ppb*page, kvh*d)
         if quantized:
+            # dead-page lanes: V codes convert to finite floats and
+            # their scale rows are zeroed in _BlockCopy.start, so
+            # p·s = 0 exactly — nothing stale reaches the AV dot
             p_v = p * expand_rows(vs_vmem[buf])
         else:
+            # bf16 pools carry raw bytes — stale VMEM could be NaN and
+            # the MXU propagates 0·NaN; zero the dead rows
+            tv = lax.broadcasted_iota(jnp.int32, v.shape, 0) + i * block
+            v = jnp.where(tv < pool_len_of(b), v, 0.0)
             p_v = p
         o_curr = jax.lax.dot_general(p_v, v, (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
@@ -265,6 +358,69 @@ def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
         acc = acc * alpha + p_c * vc             # (H,1)·(1,fused)
         m_fin = m_next                           # keep stats consistent
 
+    if write_current:
+        # quantize exactly as tgq.serve.kv_cache._absmax_quantize[4]
+        # (the gather path's math): per-token-per-head absmax in f32.
+        # kc/vc arrive already equalizer-divided — the stored format.
+        def _quant_row(x):
+            heads = x.reshape(num_kv_heads, head_dim)
+            if not quantized:
+                return heads.reshape(1, fused).astype(kw_blk.dtype), None
+            qmax = 7.0 if int4 else 127.0
+            s = jnp.maximum(
+                jnp.max(jnp.abs(heads), axis=-1, keepdims=True) / qmax,
+                1e-10)
+            qv = jnp.round(heads / s)
+            if int4:
+                qi = jnp.clip(qv, -7, 7).astype(jnp.int32) + 8
+                flat = qi.reshape(1, fused)
+                half = fused // 2
+                packed = flat[:, :half] | (flat[:, half:] << 4)
+                return packed.astype(jnp.uint8), s
+            return qv.astype(jnp.int8).reshape(1, fused), s
+
+        @pl.when(length > 0)
+        def _():
+            kq, ksc = _quant_row(kc_ref[...].astype(jnp.float32))
+            vq, vsc = _quant_row(vc_ref[...].astype(jnp.float32))
+            rmw_k_in.wait()
+            rmw_v_in.wait()
+            row_sel = lax.broadcasted_iota(
+                jnp.int32, kw_blk.shape, 0) == (woff - wblk)
+            kw_blk[...] = jnp.where(
+                row_sel, jnp.broadcast_to(kq, kw_blk.shape), kw_blk[...])
+            vw_blk[...] = jnp.where(
+                row_sel, jnp.broadcast_to(vq, vw_blk.shape), vw_blk[...])
+            wb_k = pltpu.make_async_copy(
+                kw_blk, k_out_ref.at[layer, wpage, pl.ds(wblk, 8)],
+                w_sems.at[0])
+            wb_v = pltpu.make_async_copy(
+                vw_blk, v_out_ref.at[layer, wpage, pl.ds(wblk, 8)],
+                w_sems.at[1])
+            wb_k.start()
+            wb_v.start()
+            if quantized:
+                rmw_ks_in.wait()
+                rmw_vs_in.wait()
+                lane_sel = lax.broadcasted_iota(
+                    jnp.int32, ksw_tile.shape, 1) == woff
+                ksw_tile[...] = jnp.where(
+                    lane_sel, jnp.broadcast_to(ksc, ksw_tile.shape),
+                    ksw_tile[...])
+                vsw_tile[...] = jnp.where(
+                    lane_sel, jnp.broadcast_to(vsc, vsw_tile.shape),
+                    vsw_tile[...])
+                wb_ks = pltpu.make_async_copy(
+                    ksw_tile, ks_out_ref.at[layer, wpage], w_sems.at[2])
+                wb_vs = pltpu.make_async_copy(
+                    vsw_tile, vs_out_ref.at[layer, wpage], w_sems.at[3])
+                wb_ks.start()
+                wb_vs.start()
+                wb_ks.wait()
+                wb_vs.wait()
+            wb_k.wait()
+            wb_v.wait()
+
     @pl.when(length > 0)
     def _():
         # extract each head's diagonal block: o[h] = acc[h, g(h)*d:...]
@@ -287,7 +443,7 @@ def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("num_kv_heads", "mask_value", "attn_logits_soft_cap",
-                     "return_stats"),
+                     "return_stats", "alias_pools", "write_current"),
 )
 def paged_decode_attention(
     q: jax.Array,
@@ -306,6 +462,8 @@ def paged_decode_attention(
     mask_value: float = DEFAULT_MASK_VALUE,
     attn_logits_soft_cap: float | None = None,
     return_stats: bool = False,
+    alias_pools: bool = False,
+    write_current: bool = False,
 ):
     """Decode attention for one layer of layer-stacked paged KV pools.
 
@@ -339,9 +497,32 @@ def paged_decode_attention(
       return_stats: also return the flash partials — (o_unnormalized,
         m, l) with m/l of shape (batch, num_q_heads, 1) f32; ``o`` is
         then the UN-normalized accumulator in f32.
+      alias_pools: thread the pool arrays THROUGH the kernel as aliased
+        in/out buffers and additionally return ``(k_pages, v_pages,
+        k_scales, v_scales)``.  The kernel never writes them — the
+        point is ownership: a buffer that is simultaneously a
+        custom-call operand and a later scatter target gets defensively
+        copied by XLA every decode step (~9 ms at 128 slots); aliased
+        through the call, the caller's per-step
+        ``kv_cache.kv_write_token_all`` scatter updates the kernel's
+        own output in place.  This is what lets ``decode_steps`` carry
+        the pools through its scan with zero per-step copies and no
+        chunk-window machinery on the single-device path.
 
     Returns (batch, num_q_heads, head_dim) in q.dtype, or the
-    (o, m, l) triple when ``return_stats``.
+    (o, m, l) triple when ``return_stats``; with ``alias_pools`` the
+    pool tuple is appended: (out_or_triple..., k, v, ks, vs) with
+    ks/vs None for bf16 pools.
+
+    ``write_current`` (requires ``alias_pools`` and ``k_current``): the
+    kernel itself quantizes and stores the current token's K/V row
+    (+ absmax scales) into the aliased pools at position ``length - 1``
+    — an 8-row-aligned read-modify-write DMA per live slot, ordered
+    after the attention loop.  The caller then performs NO pool writes
+    at all: no XLA scatter, no layout copies, no chunk window.  Same
+    math as kv_cache's ``_absmax_quantize``/``_absmax_quantize4``
+    (k_current/v_current must arrive equalizer-divided, which
+    ``_decode_layer`` already guarantees).
     """
     batch, num_q_heads, head_dim = q.shape
     layers, _, page_size, fused_stored = k_pages.shape
@@ -355,12 +536,15 @@ def paged_decode_attention(
     if quantized:
         spad = k_scales.shape[-1]
         assert spad % 128 == 0 and spad >= page_size, (spad, page_size)
+    if write_current:
+        assert alias_pools and k_current is not None and w_live is None, (
+            "write_current needs aliased pools and register current rows")
     # pages per loop step: batch page DMAs per wait until a K-block is
     # ~256KB — the loop is DMA-issue-latency-bound at page granularity,
     # and fewer, bigger waits with 2·ppb copies in flight recover the
     # bandwidth (measured 170 → ~400 GB/s at 64KB pages)
     page_bytes = page_size * fused_stored * k_pages.dtype.itemsize
-    ppb = max(1, min(pages_per_sequence, 262144 // page_bytes))
+    ppb = max(1, min(pages_per_sequence, 524288 // page_bytes))
     has_current = k_current is not None
     # next-live-slot table for the kernel's cross-program DMA prefetch:
     # nl[b] = smallest b' > b whose POOL holds tokens (with k_current the
@@ -387,6 +571,24 @@ def paged_decode_attention(
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
 
     stat_shape = jax.ShapeDtypeStruct((batch, num_q_heads, 1), jnp.float32)
+    struct = lambda a: (None if a is None  # noqa: E731
+                        else jax.ShapeDtypeStruct(a.shape, a.dtype))
+    pool_out_shapes = (
+        (struct(k_pages), struct(k_scales), struct(v_pages),
+         struct(v_scales)) if alias_pools else (None, None, None, None))
+    pool_out_specs = tuple(None if s is None else any_spec
+                           for s in pool_out_shapes)
+    # input_output_aliases indexes the FLATTENED call operands (scalar
+    # prefetch included, None entries skipped): 7 scalars, then q=7,
+    # k=8, [ks=9,] v, [vs]; outputs flatten to o=0 [, m=1, l=2], then
+    # the pool outputs in (k, ks, v, vs) order
+    aliases = {}
+    if alias_pools:
+        out_base = 3 if return_stats else 1
+        in_base = 8
+        n_pools = 4 if quantized else 2
+        for j in range(n_pools):
+            aliases[in_base + j] = out_base + j
     out = pl.pallas_call(
         functools.partial(
             _kernel,
@@ -396,6 +598,7 @@ def paged_decode_attention(
             pages_per_block=ppb,
             int4=int4,
             has_window=has_window,
+            write_current=write_current,
             mask_value=mask_value,
             attn_logits_soft_cap=attn_logits_soft_cap,
         ),
@@ -412,13 +615,22 @@ def paged_decode_attention(
                 cur_spec if has_current else None,
                 cur_spec if has_current else None,
             ],
-            out_specs=((io_spec, stat_spec, stat_spec) if return_stats
-                       else (io_spec, None, None)),
+            out_specs=(((io_spec, stat_spec, stat_spec) if return_stats
+                        else (io_spec, None, None)) + pool_out_specs),
             grid=(batch,),
             scratch_shapes=(
                 kv_buf, scale_buf, kv_buf, scale_buf,
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
+                # write_current RMW staging (8-row pool block + full
+                # scale tile per K/V) — tiny, so allocated regardless
+                pltpu.VMEM((8, fused_stored), k_pages.dtype),
+                pltpu.VMEM((8, fused_stored), k_pages.dtype),
+                (pltpu.VMEM((num_kv_heads, spad), jnp.float32)
+                 if quantized else pltpu.VMEM((8, 128), jnp.float32)),
+                (pltpu.VMEM((num_kv_heads, spad), jnp.float32)
+                 if quantized else pltpu.VMEM((8, 128), jnp.float32)),
+                pltpu.SemaphoreType.DMA((4,)),
             ),
         ),
         compiler_params=pltpu.CompilerParams(
@@ -428,7 +640,8 @@ def paged_decode_attention(
                 (batch, num_q_heads, head_dim), jnp.float32),
             stat_shape if return_stats else None,
             stat_shape if return_stats else None,
-        ),
+        ) + pool_out_shapes,
+        input_output_aliases=aliases,
     )(
         lengths.astype(jnp.int32),
         page_indices.reshape(-1).astype(jnp.int32),
@@ -448,7 +661,9 @@ def paged_decode_attention(
         (v_current.astype(jnp.float32).reshape(batch, 1, fused)
          if has_current else None),
     )
-    o, m, l = out
-    if return_stats:
-        return o, m, l
-    return o.astype(q.dtype)
+    o, m, l, k_out, ks_out, v_out, vs_out = out
+    res = (o, m, l) if return_stats else o.astype(q.dtype)
+    if alias_pools:
+        pools = (k_out, v_out, ks_out, vs_out)
+        return res + pools if return_stats else (res,) + pools
+    return res

@@ -19,6 +19,7 @@ Attention backends (``attn_impl``):
 """
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
@@ -393,6 +394,26 @@ def _decode_layer(lp, li, cfg: ModelConfig, x, cache: PagedKVCache,
             attn = _kernel_attention_tp(cfg.num_kv_heads, qs, cache, li,
                                         lens, table, k_cur, v_cur, mesh,
                                         w_live=w_live, return_stats=stats)
+        elif win is None:
+            # single-device steady state: pools pass THROUGH the kernel
+            # as aliased in/out buffers AND the kernel itself stores
+            # the current token's quantized row+scale (write_current) —
+            # no XLA pool writes at all.  The r2/r3 alternatives both
+            # lost: an end-of-step all-layer scatter makes XLA pick an
+            # L-minor-adjacent pool layout ({3,0,2,1}) for the scatter
+            # while the Pallas call mandates the default → two
+            # full-pool layout copies (~13 ms/step at 128 slots); even
+            # per-layer scatters on the aliased buffers lower to
+            # serialized row loops (~2 ms/step) and stall the next
+            # layer's kernel.
+            attn, pk, pv, pks, pvs = paged_decode_attention(
+                qs, cache.k, cache.v,
+                cache.ks, cache.vs, li, lens, table,
+                k_cur, v_cur,
+                num_kv_heads=cfg.num_kv_heads, alias_pools=True,
+                write_current=True)
+            cache = dataclasses.replace(cache, k=pk, v=pv, ks=pks, vs=pvs)
+            kv_rows = None
         else:
             attn = paged_decode_attention(
                 qs, cache.k, cache.v,
@@ -588,9 +609,21 @@ def decode_steps(params, cache: PagedKVCache, cfg: ModelConfig,
     from tgq.serve.kv_cache import (window_flush, window_init,
                                     window_write_step)
 
-    if n_steps == 1:
-        # a 1-step chunk is the plain step: current-token registers
-        # cover it, no window needed
+    # the chunk window exists only for the TP *kernel* path: a
+    # shard_map'd Pallas call cannot alias the pools through the call,
+    # so they must stay scan-invariant.  TP + gather (CPU meshes) uses
+    # the same plain per-step path as single-device — GSPMD shards the
+    # scatter correctly, and sharing the arithmetic with the
+    # single-device engine keeps greedy traces comparable.
+    tp = mesh is not None and mesh.shape.get("model", 1) > 1
+    if n_steps == 1 or not (tp and attn_impl == "kernel"):
+        # plain per-step scan.  On the single-device kernel path the
+        # pools pass THROUGH the attention kernel as aliased in/out
+        # buffers (paged_decode_attention alias_pools), so the per-step
+        # kv_write_token_all scatter updates the kernel's own output in
+        # place — XLA carries the pools through the scan with zero
+        # copies and no chunk-window machinery (the r3 window existed
+        # only to dodge the operand+scatter-target defensive copy).
         def step1(carry, _):
             cache, tok, lens, pos, key = carry
             logits, cache, _ = _decode_core(params, cache, cfg, table,
@@ -600,11 +633,13 @@ def decode_steps(params, cache: PagedKVCache, cfg: ModelConfig,
 
         with serving_mesh_scope(mesh):
             (cache, _, _, _, key), toks = jax.lax.scan(
-                step1, (cache, tokens, lens, pos, key), None, length=1)
+                step1, (cache, tokens, lens, pos, key), None,
+                length=n_steps)
         return toks, cache, key
 
-    # chunk-window mode: the pools are SCAN-INVARIANT — per-step rows
-    # land in a small RAW bf16 window read only by XLA attention
+    # TP chunk-window mode: the shard_map'd kernel cannot alias the
+    # pools through the call, so they stay SCAN-INVARIANT — per-step
+    # rows land in a small RAW bf16 window read only by XLA attention
     # (_window_partial) and written with one DUS per step, and ONE
     # quantize+flush scatter runs after the scan.  The per-step scatter
     # forced XLA to copy the pools every step (custom-call operand +
