@@ -121,35 +121,51 @@ def _serve_bench(on_tpu: bool) -> None:
     preset so the line is always parseable."""
     from tgq.cli import serve as serve_cli
 
-    if on_tpu:
-        argv = ["--model_id", "qwen3-8b", "--w_bits", "4",
-                "--lm_head_bits", "8", "--kv_bits", "8",
-                "--max_slots", "64", "--prompt_len", "128",
-                "--gen_tokens", "128", "--n_requests", "128",
-                "--decode_chunk", "16"]
-    else:
+    if not on_tpu:
         argv = ["--model_id", "tiny-qwen3", "--w_bits", "8",
                 "--group_size", "32", "--kv_bits", "8", "--max_slots", "4",
                 "--prompt_len", "16", "--gen_tokens", "16",
                 "--n_requests", "8", "--decode_chunk", "4"]
-    print(f"[bench] serving benchmark ({'qwen3-8b' if on_tpu else 'tiny'})"
-          " ...", file=sys.stderr)
-    res = serve_cli.run(serve_cli.build_parser().parse_args(argv))
-    out = {
-        "metric": "qwen3_8b_decode_tok_s",
-        "value": res["decode_only_tok_s"],
-        "unit": "tok/s",
-        # the reference publishes no serving/throughput numbers
-        # (BASELINE.md); this line externally verifies RESULTS.md
-        "vs_baseline": None,
-        "overall_tok_s": res["value"],
-        "ttft_p50_s": res["ttft_p50_s"],
-        "config": res["config"],
-    }
-    if not on_tpu:
-        out["status"] = ("backend=cpu: smoke-test on tiny-qwen3; "
-                         "not comparable")
-    print(json.dumps(out))
+        print("[bench] serving benchmark (tiny) ...", file=sys.stderr)
+        res = serve_cli.run(serve_cli.build_parser().parse_args(argv))
+        print(json.dumps({
+            "metric": "qwen3_8b_decode_tok_s",
+            "value": res["decode_only_tok_s"], "unit": "tok/s",
+            "vs_baseline": None, "overall_tok_s": res["value"],
+            "ttft_p50_s": res["ttft_p50_s"], "config": res["config"],
+            "status": "backend=cpu: smoke-test on tiny-qwen3; "
+                      "not comparable",
+        }))
+        return
+
+    base = ["--model_id", "qwen3-8b", "--w_bits", "4",
+            "--lm_head_bits", "8", "--kv_bits", "8",
+            "--prompt_len", "128", "--gen_tokens", "128",
+            "--n_requests", "128", "--decode_chunk", "16"]
+    # two configs: 64 slots matches BENCH_r03's serving line key-for-key
+    # (round-over-round comparability); 128 slots is the throughput
+    # config — saturating the chip's slot capacity is where decode is
+    # MXU-bound rather than weight-stream-bound, and chunked prefill
+    # admission keeps TTFT near its compute floor (the median request
+    # sits behind ~8k prompt tokens of MXU-bound prefill, ~0.7 s at
+    # peak, plus ~50 ms/dispatch of remote-tunnel latency)
+    for metric, slots in (("qwen3_8b_decode_tok_s", 64),
+                          ("qwen3_8b_serving_best", 128)):
+        print(f"[bench] serving benchmark (qwen3-8b, {slots} slots) ...",
+              file=sys.stderr)
+        res = serve_cli.run(serve_cli.build_parser().parse_args(
+            base + ["--max_slots", str(slots)]))
+        print(json.dumps({
+            "metric": metric,
+            "value": res["decode_only_tok_s"],
+            "unit": "tok/s",
+            # the reference publishes no serving/throughput numbers
+            # (BASELINE.md); these lines externally verify RESULTS.md
+            "vs_baseline": None,
+            "overall_tok_s": res["value"],
+            "ttft_p50_s": res["ttft_p50_s"],
+            "config": res["config"],
+        }))
 
 
 def _quantize_bench(args, jax, jnp, backend, on_tpu) -> None:

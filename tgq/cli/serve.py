@@ -135,6 +135,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--temperature", type=float, default=0.0)
     ap.add_argument("--decode_chunk", type=int, default=8,
                     help="decode steps fused per device dispatch")
+    ap.add_argument("--prefill_chunk_tokens", type=int, default=4096,
+                    help="max padded prompt tokens per admission "
+                         "dispatch (0 = one monolithic wave)")
     ap.add_argument("--lm_head_bits", type=int, default=16, choices=(16, 8),
                     help="vocab-head quantization (serving only; the "
                          "decode-step vocab matmul reads >1 GB bf16/step "
@@ -205,6 +208,7 @@ def run(args) -> dict:
         max_new_tokens=args.gen_tokens, temperature=args.temperature,
         seed=args.seed, decode_chunk=args.decode_chunk, kv_bits=args.kv_bits,
         kv_k_eq=k_eq, kv_v_eq=v_eq,
+        prefill_chunk_tokens=args.prefill_chunk_tokens,
     )
     eng = Engine(params, cfg, scfg, mesh=mesh)
 

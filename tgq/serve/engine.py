@@ -64,6 +64,15 @@ class ServeConfig:
     # tokens, and its pages are held back from the free pool until the
     # in-flight chunk's device work has completed)
     overlap_host: bool = True
+    # chunked prefill: cap the PADDED prompt tokens admitted per prefill
+    # dispatch, and dispatch prefill chunks ASYNCHRONOUSLY between
+    # decode chunks (collected one tick later).  A monolithic admission
+    # wave stalls the decode stream for the whole wave's prefill and
+    # gives every admitted request the same worst-case TTFT; chunking
+    # streams first tokens out as each chunk lands while decode of
+    # already-admitted slots interleaves on the device.  0 = unbounded
+    # (one wave, the pre-r4 behavior).
+    prefill_chunk_tokens: int = 4096
 
 
 @dataclasses.dataclass
@@ -79,6 +88,17 @@ class _Chunk:
     group: list                       # [(slot, Request), ...]
     n: int
     deferred: list = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
+class _PrefillChunk:
+    """An in-flight (async) prefill dispatch: first-token device array +
+    the slot↔request binding.  Its slots sit in ``Engine._staging`` —
+    occupied (pages allocated, KV being written on device) but excluded
+    from decode dispatches until the tokens are collected."""
+
+    toks: object                      # (b,) int32 device array
+    group: list                       # [(slot, Request), ...]
 
 
 @dataclasses.dataclass
@@ -174,6 +194,13 @@ class Engine:
         # _pending (visible to _retire so it can defer page frees)
         self._pending: Optional[_Chunk] = None
         self._spec: Optional[_Chunk] = None
+        # in-flight prefill chunks (oldest first) + their staging slots
+        # (occupied but not yet decodable — first tokens still on
+        # device).  Two chunks ride in flight during an admission burst
+        # so the device prefills back-to-back while the host collects —
+        # one-deep left a dispatch-latency bubble between chunks.
+        self._pf: deque[_PrefillChunk] = deque()
+        self._staging: set = set()
 
     # ------------------------------------------------------------- API
 
@@ -189,75 +216,116 @@ class Engine:
         return req
 
     def run(self) -> list[Request]:
-        """Drive until queue and slots are empty; returns finished reqs."""
+        """Drive until queue and slots are empty; returns finished reqs.
+
+        Admission is prefill-priority (the standard continuous-batching
+        policy): while free slots and pages can take queued prompts,
+        admission chunks dispatch back-to-back and decode waits — first
+        tokens stream out chunk by chunk instead of after one monolithic
+        wave.  Once the admissible backlog is in slots, decode chunks
+        and (as slots free up) further prefill chunks interleave."""
         finished: list[Request] = []
-        while self.queue or any(self.slots) or self._pending is not None:
+        while (self.queue or any(self.slots) or self._pending is not None
+               or self._pf):
             self._admit()
+            if self._can_admit_more():
+                continue
             newly = self._decode_tick()
             finished.extend(newly)
         return finished
 
     # -------------------------------------------------------- internals
 
+    def _can_admit_more(self) -> bool:
+        """True while the head of the queue could join a prefill chunk
+        right now (free slot + pages) — run() then keeps admitting
+        before the next decode chunk."""
+        if not self.queue:
+            return False
+        if not any(s is None for s in self.slots):
+            return False
+        return (self.pt.num_free
+                >= self.pt.pages_needed(len(self.queue[0].prompt) + 1))
+
     def _admit(self) -> None:
-        """Admit queued requests into free slots.  Head-of-queue requests
-        whose prompts pad to the same page multiple are prefilled in ONE
-        batched dispatch with on-device sampling (power-of-two batch so
-        at most log2(slots)+1 prefill widths ever compile); an admission
-        wave costs one device round-trip instead of one per request."""
+        """Chunked, asynchronous admission.  Collect the in-flight
+        prefill chunk (the only blocking sync), then dispatch at most
+        ONE new chunk — head-of-queue requests whose prompts pad to the
+        same page multiple, bounded by free slots, the page pool, and
+        ``prefill_chunk_tokens`` of padded prompt — WITHOUT waiting for
+        it.  A chunk's slots sit in ``_staging`` until collection and
+        join decode on the next tick; on-device sampling means only the
+        (b,) first-token array ever crosses to the host."""
         page = self.scfg.page_size
-        while self.queue:
-            free = [s for s in range(self.scfg.max_slots)
-                    if self.slots[s] is None]
-            if not free:
-                return
-            head_pages = self.pt.pages_needed(len(self.queue[0].prompt))
-            group: list[Request] = []
-            budget = self.pt.num_free
-            for req in self.queue:
-                need = self.pt.pages_needed(len(req.prompt) + 1)
-                if (self.pt.pages_needed(len(req.prompt)) != head_pages
-                        or need > budget or len(group) >= len(free)):
-                    break
-                group.append(req)
-                budget -= need
-            if not group:
-                return  # head of queue doesn't fit yet
-            b = 1 << (len(group).bit_length() - 1)  # power-of-two batch
-            group = group[:b]
-            t0 = time.time()
-            pad = head_pages * page
-            ids = np.zeros((b, pad), np.int32)
-            true_len = np.zeros((b,), np.int32)
-            temps = np.zeros((b,), np.float32)
-            slot_pages = np.zeros((b, head_pages), np.int32)
-            slots = free[:b]
-            for i, (s, req) in enumerate(zip(slots, group)):
-                self.queue.popleft()
-                n_prompt = len(req.prompt)
-                ids[i, :n_prompt] = req.prompt
-                true_len[i] = n_prompt
-                temps[i] = (req.temperature if req.temperature is not None
-                            else self.scfg.temperature)
-                slot_pages[i] = self.pt.alloc_slot(s, n_prompt)
-                self.slots[s] = req
-            toks, self.cache, self.key = prefill_batch(
-                self.params, self.cache, self.cfg,
-                jnp.asarray(slot_pages), jnp.asarray(ids),
-                jnp.asarray(true_len), jnp.asarray(temps), self.key,
-                mesh=self.mesh,
-                greedy_only=bool((temps == 0).all()),
-            )
-            toks = np.asarray(toks)
-            now = time.time()
-            self.prefill_wall_s += now - t0
-            for i, (s, req) in enumerate(zip(slots, group)):
-                tok = int(toks[i])
-                req.output.append(tok)
-                req.first_token_t = now
-                self.tokens_emitted += 1
-                if self._finished(req, tok):
-                    self._retire(s)
+        while len(self._pf) >= 2:
+            self._collect_prefill()
+        if not self.queue:
+            return
+        free = [s for s in range(self.scfg.max_slots)
+                if self.slots[s] is None]
+        if not free:
+            return
+        head_pages = self.pt.pages_needed(len(self.queue[0].prompt))
+        cap_tok = self.scfg.prefill_chunk_tokens or 0
+        group: list[Request] = []
+        budget = self.pt.num_free
+        for req in self.queue:
+            need = self.pt.pages_needed(len(req.prompt) + 1)
+            if (self.pt.pages_needed(len(req.prompt)) != head_pages
+                    or need > budget or len(group) >= len(free)
+                    or (group and cap_tok
+                        and (len(group) + 1) * head_pages * page > cap_tok)):
+                break
+            group.append(req)
+            budget -= need
+        if not group:
+            return  # head of queue doesn't fit yet
+        b = 1 << (len(group).bit_length() - 1)  # power-of-two batch
+        group = group[:b]
+        t0 = time.time()
+        pad = head_pages * page
+        ids = np.zeros((b, pad), np.int32)
+        true_len = np.zeros((b,), np.int32)
+        temps = np.zeros((b,), np.float32)
+        slot_pages = np.zeros((b, head_pages), np.int32)
+        slots = free[:b]
+        for i, (s, req) in enumerate(zip(slots, group)):
+            self.queue.popleft()
+            n_prompt = len(req.prompt)
+            ids[i, :n_prompt] = req.prompt
+            true_len[i] = n_prompt
+            temps[i] = (req.temperature if req.temperature is not None
+                        else self.scfg.temperature)
+            slot_pages[i] = self.pt.alloc_slot(s, n_prompt)
+            self.slots[s] = req
+        toks, self.cache, self.key = prefill_batch(
+            self.params, self.cache, self.cfg,
+            jnp.asarray(slot_pages), jnp.asarray(ids),
+            jnp.asarray(true_len), jnp.asarray(temps), self.key,
+            mesh=self.mesh,
+            greedy_only=bool((temps == 0).all()),
+        )
+        self.prefill_wall_s += time.time() - t0
+        self._pf.append(_PrefillChunk(toks, list(zip(slots, group))))
+        self._staging.update(slots)
+
+    def _collect_prefill(self) -> None:
+        """Fetch the oldest in-flight prefill chunk's first tokens (a
+        real device sync on that dispatch) and make its slots
+        decodable."""
+        chunk = self._pf.popleft()
+        t0 = time.time()
+        toks = np.asarray(chunk.toks)  # blocks on the prefill dispatch
+        now = time.time()
+        self.prefill_wall_s += now - t0
+        for i, (s, req) in enumerate(chunk.group):
+            self._staging.discard(s)
+            tok = int(toks[i])
+            req.output.append(tok)
+            req.first_token_t = now
+            self.tokens_emitted += 1
+            if self._finished(req, tok):
+                self._retire(s)
 
     def _finished(self, req: Request, tok: int) -> bool:
         if self.scfg.eos_id is not None and tok == self.scfg.eos_id:
@@ -387,7 +455,17 @@ class Engine:
         return finished
 
     def _decode_tick(self) -> list[Request]:
-        active = [s for s in range(self.scfg.max_slots) if self.slots[s]]
+        if self._pending is None:
+            # about to form a fresh decode dispatch: in-flight prefill
+            # chunks' device work precedes anything we dispatch now, so
+            # collecting them first costs no device time and lets their
+            # slots join this chunk instead of idling through it
+            while self._pf:
+                self._collect_prefill()
+        # staging slots (in-flight prefill) are occupied but their first
+        # token is still on device — they join decode after collection
+        active = [s for s in range(self.scfg.max_slots)
+                  if self.slots[s] and s not in self._staging]
         if self._pending is None:
             if not active:
                 return []
@@ -399,7 +477,11 @@ class Engine:
             self.decode_wall_s += time.time() - t0
 
         pending = self._pending
-        if self._can_speculate(pending):
+        # never speculate past a change in the decodable set: newly
+        # collected prefill slots must join the next dispatch, so the
+        # pipeline re-forms instead of chaining the stale group
+        if (self._can_speculate(pending)
+                and set(active) == {s for s, _ in pending.group}):
             # chunk N+1 from chunk N's on-device final tokens — the
             # device stays busy while the host fetches/processes N
             t0 = time.time()
