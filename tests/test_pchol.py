@@ -163,3 +163,26 @@ def test_pallas_panel_sweep_rank_deficient(rng):
     rec = np.asarray(lt_p, np.float64)
     np.testing.assert_allclose(rec.T @ rec, np.asarray(h, np.float64),
                                rtol=0, atol=1e-4)
+
+
+def test_extreme_spectrum_stays_finite(rng):
+    """cond ≳ 1e9 Hessians (5-decade spectra, seen on real 8B layers)
+    used to drive the f32 factor build to an all-NaN R; the escalation
+    ladder (pivot_rtol ×, then host-f64 eigh fallback) must keep the
+    factor — and the quantized weights — finite."""
+    from tgq.core.quant import QuantSpec
+    from tgq.solver import hessian_from_activations, quantize_weight
+    from tgq.solver.pchol import pchol_factor
+
+    d = 256
+    u, _ = np.linalg.qr(rng.normal(size=(d, d)))
+    s = 10.0 ** (-5 * np.arange(d) / d)
+    x = ((rng.normal(size=(4096, d)) * s) @ u.T).astype(np.float32)
+    h = np.asarray(hessian_from_activations(jnp.asarray(x)))
+    f = pchol_factor(h, eps=1e-6)
+    assert np.isfinite(np.asarray(f.r_full)).all()
+    w = rng.normal(size=(64, d)).astype(np.float32)
+    spec = QuantSpec(bits=3, group_size=128, sym=False)
+    wq = np.asarray(quantize_weight(jnp.asarray(w), f, spec,
+                                    with_error=False).w_q)
+    assert np.isfinite(wq).all()

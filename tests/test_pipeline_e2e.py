@@ -108,3 +108,54 @@ def test_llama_family_pipeline():
     ppl = perplexity_from_token_stream(p, cfg, eval_ids, max_length=64,
                                        stride=32, attn_impl="naive")
     assert np.isfinite(ppl) and ppl < base * 1.2
+
+
+def test_low_bit_ordering_on_trained_tiny_model():
+    """The reference's published table shape (README.md:29-41) at
+    container scale: on a TRAINED tiny model (random-init logits are
+    flat and make every delta noise — measured), Hessian-based methods
+    must beat RTN at W3 and W2, the degradation must grow as bits
+    drop, and the pchol fast path must reproduce the eigh parity path.
+
+    Trunc-vs-GPTQ itself is NOT asserted: on every synthetic regime
+    measured (in-sample, out-of-sample, decade-spanning spectra,
+    trained-tiny e2e) damped-Cholesky GPTQ edges out truncation by a
+    few percent — the reference's published Trunc < GPTQ gap lives on
+    real-LLM Hessian spectra that no hermetic harness here reproduces
+    (see RESULTS.md low-bit quality trend)."""
+    import copy
+
+    from tgq.calib.tiny_train import sample_stream, train_tiny
+
+    cfg = PRESETS["tiny-qwen3"]
+    params, probs, _ = train_tiny(cfg, steps=150, seed=0)
+    calib = sample_stream(probs, 8 * 64, seed=7).reshape(8, 64)
+    eval_ids = sample_stream(probs, 2048, seed=99)
+
+    def ppl_of(p):
+        return perplexity_from_token_stream(
+            p, cfg, eval_ids, max_length=64, stride=32, attn_impl="naive")
+
+    base = ppl_of(params)
+    assert base < cfg.vocab_size / 8  # the model actually learned
+
+    deltas = {}
+    for bits in (3, 2):
+        for mode, kw in (("pchol", dict(eps=1e-5)),
+                         ("eigh", dict(eps=1e-5)),
+                         ("gptq", dict(actorder=True)),
+                         ("rtn", {})):
+            qcfg = QuantizeConfig(mode=mode, w_bits=bits, group_size=32,
+                                  batch_size=4, block_size=32,
+                                  attn_impl="naive", **kw)
+            p, _, _ = quantize_model(copy.deepcopy(params), cfg, calib, qcfg)
+            deltas[(bits, mode)] = float(ppl_of(p) - base)
+
+    for bits in (3, 2):
+        # Hessian methods <= RTN (the low-bit headline ordering)
+        assert deltas[(bits, "pchol")] <= deltas[(bits, "rtn")], deltas
+        assert deltas[(bits, "gptq")] <= deltas[(bits, "rtn")], deltas
+        # pchol fast path == eigh parity path
+        assert abs(deltas[(bits, "pchol")] - deltas[(bits, "eigh")]) < 1e-2, deltas
+    # degradation grows as bits drop
+    assert deltas[(2, "pchol")] > deltas[(3, "pchol")], deltas

@@ -162,6 +162,31 @@ def _stage_act(lp, cfg: ModelConfig, x2):
     return mlp_act(lp, cfg, mlp_input(lp, cfg, x2))
 
 
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def _accum_act_gram_t(h, lp, cfg: ModelConfig, x2):
+    """Fused group-3 accumulate for the llama family: h2 → gate/up in
+    TRANSPOSED (ff, T) orientation → silu·up → Gram contracting the
+    token dim, one dispatch per batch.
+
+    The producer dots emit (ff, T) directly (weights are (out, in), so
+    it is just the flipped contraction — no relayout op anywhere) and
+    the token-dim-minor Gram runs ~8 ms/batch faster than the (T, ff)
+    form at Qwen3-8B gi-3 shapes (measured producer+Gram 171 → 179 TF/s
+    on v5e; the isolated 164-vs-130 TF/s Gram gap mostly collapses once
+    composed with the producer, which is why only this group adopts the
+    transposed staging).  Matches mlp_act's bf16 math: bf16 dots, silu
+    in bf16."""
+    h2 = mlp_input(lp, cfg, x2).reshape(-1, cfg.hidden_size)  # (T, d)
+    wg = lp["mlp"]["gate_proj"]["w"]
+    wu = lp["mlp"]["up_proj"]["w"]
+    gate = jax.lax.dot_general(wg, h2, (((1,), (1,)), ((), ())))
+    up = jax.lax.dot_general(wu, h2, (((1,), (1,)), ((), ())))
+    act = (jax.nn.silu(gate) * up).astype(jnp.bfloat16)       # (ff, T)
+    return h + jax.lax.dot_general(
+        act, act, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def _stage_out(lp, cfg: ModelConfig, x2):
     """Quantized-layer output from the staged residual — recomputes only
@@ -441,9 +466,20 @@ def quantize_layer(
                     in_f, rank=int(in_f * qcfg.sketch_ratio), seed=qcfg.seed)
             else:
                 acc = HessianAccumulator.init(in_f)
+            # gi 3 (the 12288-wide Gram, ~75% of the layer's Gram FLOPs)
+            # fuses producer + transposed Gram into one dispatch/batch
+            fused_t = (gi == 3 and cfg.family == "llama"
+                       and qcfg.mode != "svd"
+                       and "b" not in get_nested(lp, "mlp.gate_proj"))
             with timers.phase("accumulate"):
                 for jj, j in enumerate(idx):
-                    acc = acc.update(group_act(jj, j))
+                    if fused_t:
+                        tokens = int(x2_l[jj].size // cfg.hidden_size)
+                        acc = HessianAccumulator(
+                            h=_accum_act_gram_t(acc.h, lp, cfg, x2_l[jj]),
+                            n_samples=acc.n_samples + tokens)
+                    else:
+                        acc = acc.update(group_act(jj, j))
                 h_or_y = acc.finalize()
                 if qcfg.mode in ("eigh", "gptq", "svd"):
                     h_or_y = np.asarray(h_or_y)  # host factorization paths

@@ -50,6 +50,26 @@ def _accum_gram(h: jax.Array, x: jax.Array) -> jax.Array:
     )
 
 
+@partial(jax.jit, donate_argnums=0)
+def _accum_gram_t(h: jax.Array, xt: jax.Array) -> jax.Array:
+    """Gram update from a TRANSPOSED (features, tokens) operand.
+
+    Contracting the token dim as dim 1 of both operands measures
+    ~164 TF/s bf16 on v5e vs ~130 TF/s for the (tokens, features) form
+    in isolation; composed with the activation producer the net win is
+    smaller (~4% of the producer+Gram pipeline, measured) but free when
+    the producer can emit (d, T) directly by flipping its own dot."""
+    if xt.dtype == jnp.bfloat16:
+        precision = jax.lax.Precision.DEFAULT
+    else:
+        xt = xt.astype(jnp.float32)
+        precision = _HIGHEST
+    return h + jax.lax.dot_general(
+        xt, xt, (((1,), (1,)), ((), ())), precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class HessianAccumulator:
@@ -70,6 +90,13 @@ class HessianAccumulator:
         tokens = int(x.size // x.shape[-1])
         return HessianAccumulator(
             h=_accum_gram(self.h, x), n_samples=self.n_samples + tokens
+        )
+
+    def update_t(self, xt: jax.Array) -> "HessianAccumulator":
+        """Update from a transposed (features, tokens) operand."""
+        tokens = int(xt.size // xt.shape[0])
+        return HessianAccumulator(
+            h=_accum_gram_t(self.h, xt), n_samples=self.n_samples + tokens
         )
 
     def finalize(self) -> jax.Array:

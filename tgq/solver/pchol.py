@@ -323,4 +323,21 @@ def pchol_factor(
         lt, _, _, _ = _sweep(h, panel=panel)
         r_full, r_x = _pchol_factors_jit(lt, perm, jnp.int32(rank),
                                          want_rx=want_rx)
+    finite = bool(jnp.isfinite(r_full).all()) and (
+        r_x is None or bool(jnp.isfinite(r_x).all()))
+    if not finite:
+        # f32 breakdown on extreme spectra (cond ≳ 1e9: retained pivots
+        # span more than the triangular solves' f32 range — measured
+        # all-NaN R on a 5-decade synthetic spectrum).  Escalate the
+        # numerical-rank guard once (tail columns degrade to RTN), then
+        # fall back to the host-f64 eigh parity path, which is always
+        # finite — the same failure-ladder shape as the reference's
+        # damping escalation (gptq_utils.py:148-164).
+        if pivot_rtol < 1e-3:
+            return pchol_factor(h, eps=eps, panel=panel, pivot_rtol=1e-3,
+                                want_rx=want_rx)
+        from tgq.solver.factorize import trunc_spectral_factor
+
+        return trunc_spectral_factor(np.asarray(h, np.float64), eps=eps,
+                                     method="energy")
     return FactorResult(r_full=r_full, perm=perm, rank=rank, r_x=r_x)
