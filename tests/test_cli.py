@@ -118,3 +118,31 @@ def test_extract_log(tmp_path):
     mods = {r["module"] for r in rows}
     assert {"q_proj", "down_proj"} <= mods
     assert all(float(r["mean_rel_err"]) >= 0 for r in rows)
+
+
+def test_reproduction_argv_parses_against_current_flags(tmp_path):
+    """Keep the real-PPL reproduction warm (scripts/reproduce_baseline.sh):
+    build EVERY published-table experiment's full quantize-CLI argv —
+    without executing anything — and parse it against the current flag
+    surface.  Flag drift (renames, removed defaults) fails here instead
+    of on the day real weights become reachable."""
+    from tgq.cli.args import build_parser
+    from tgq.cli.run_benchmark import experiment_argv, experiment_list
+
+    base = ["--model_id", "Qwen/Qwen3-8B", "--dataset", "wikitext2",
+            "--n_samples", "128", "--seq_len", "2048",
+            "--batch_size", "32", "--group_size", "128",
+            "--attn_impl", "auto", "--no_save"]
+    for solver in ("pchol", "eigh"):
+        exps = experiment_list(solver)
+        assert len(exps) == 11  # reference run_benchmark.py's table
+        for exp in exps:
+            argv = experiment_argv(exp, base, str(tmp_path))
+            args = build_parser().parse_args(argv)
+            assert args.mode == exp["mode"]
+            if "w_bits" in exp:
+                assert args.w_bits == exp["w_bits"]
+            if "eps" in exp:
+                assert args.eps == exp["eps"]
+            assert args.sym == bool(exp.get("sym"))
+            assert args.no_save and args.dataset == "wikitext2"

@@ -40,9 +40,12 @@ def experiment_list(trunc_mode: str) -> list[dict]:
     return exps
 
 
-def run_experiment(exp: dict, base_args: list[str], out_root: str) -> dict:
-    from tgq.cli.quantize import main as quantize_main
-
+def experiment_argv(exp: dict, base_args: list[str], out_root: str) -> list:
+    """The full quantize-CLI argv for one experiment row — split out so
+    the reproduction stays testable without running anything: the
+    dry-run test (tests/test_cli.py) parses every published-table row's
+    argv against the CURRENT flag surface, catching flag drift the day
+    real weights become reachable (scripts/reproduce_baseline.sh)."""
     save = os.path.join(out_root, exp["name"])
     argv = list(base_args) + ["--save_path", save, "--mode", exp["mode"]]
     for flag in ("w_bits", "eps", "threshold_method"):
@@ -52,6 +55,14 @@ def run_experiment(exp: dict, base_args: list[str], out_root: str) -> dict:
         argv.append("--sym")
     if exp.get("actorder"):
         argv.append("--actorder")
+    return argv
+
+
+def run_experiment(exp: dict, base_args: list[str], out_root: str) -> dict:
+    from tgq.cli.quantize import main as quantize_main
+
+    save = os.path.join(out_root, exp["name"])
+    argv = experiment_argv(exp, base_args, out_root)
 
     t0 = time.time()
     row = {"name": exp["name"], "status": "OK", "ppl": None,

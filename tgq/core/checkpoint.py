@@ -51,6 +51,7 @@ def save_quantized(
     cfg: ModelConfig,
     qconfig: dict | None = None,
     kv_equalizers: tuple | None = None,
+    shard_layers: bool = False,
 ) -> None:
     """Write a packed checkpoint directory: weights.npz + config.json.
 
@@ -60,6 +61,13 @@ def save_quantized(
     (k_eq, v_eq) per-channel KV profiles (tgq.serve.kv_calibrate) stored
     under reserved ``__kv_eq__`` names — tgq-serve picks them up
     automatically for quantized KV caches.
+
+    ``shard_layers``: write one ``layer_%03d.npz`` per decoder layer
+    (names relative to the layer) next to the base ``weights.npz`` —
+    the 70B-scale format: ``load_quantized`` then streams layer by
+    layer (optionally device-placing each before the next loads), so
+    peak host memory is one layer, not the whole model, and a partial
+    copy fails fast instead of truncating one giant archive.
     """
     os.makedirs(path, exist_ok=True)
     flat = {}
@@ -79,24 +87,69 @@ def save_quantized(
             flat[name] = arr
     for key, pl in packed.items():
         flat.update(_flatten(pl, f"model.{key}."))
+
+    n_shards = 0
+    if shard_layers:
+        per_layer: dict[int, dict[str, np.ndarray]] = {}
+        base: dict[str, np.ndarray] = {}
+        for name, arr in flat.items():
+            stripped = name[len("__bf16__"):] if name.startswith("__bf16__") \
+                else name
+            parts = stripped.split(".")
+            if (len(parts) > 3 and parts[0] == "model"
+                    and parts[1] == "layers" and parts[2].isdigit()):
+                li = int(parts[2])
+                rel = ".".join(parts[3:])
+                if name.startswith("__bf16__"):
+                    rel = f"__bf16__{rel}"
+                per_layer.setdefault(li, {})[rel] = arr
+            else:
+                base[name] = arr
+        n_shards = max(per_layer) + 1 if per_layer else 0
+        for li, shard in per_layer.items():
+            np.savez(os.path.join(path, f"layer_{li:03d}.npz"), **shard)
+        flat = base
     np.savez(os.path.join(path, "weights.npz"), **flat)
-    meta = {"model_config": dataclasses.asdict(cfg), "quant_config": qconfig or {}}
+    meta = {"model_config": dataclasses.asdict(cfg),
+            "quant_config": qconfig or {}}
+    if n_shards:
+        meta["layer_shards"] = n_shards
     with open(os.path.join(path, "config.json"), "w") as f:
         json.dump(meta, f, indent=2)
 
 
-def load_quantized(path: str):
-    """Load a packed checkpoint → (params tree with PackedLinear leaves,
-    ModelConfig, quant_config dict)."""
-    with open(os.path.join(path, "config.json")) as f:
-        meta = json.load(f)
-    cfg = ModelConfig(**meta["model_config"])
-    data = dict(np.load(os.path.join(path, "weights.npz")))
+def _insert(tree, dotted, value):
+    parts = dotted.split(".")
+    cur = tree
+    for i, p in enumerate(parts[:-1]):
+        nxt = parts[i + 1]
+        if p.isdigit():
+            p = int(p)
+        if isinstance(cur, list):
+            while len(cur) <= p:
+                cur.append({})
+            if not cur[p]:
+                cur[p] = [] if nxt.isdigit() else {}
+            cur = cur[p]
+        else:
+            if p not in cur or not cur[p]:
+                cur[p] = [] if nxt.isdigit() else {}
+            cur = cur[p]
+    last = parts[-1]
+    last = int(last) if last.isdigit() else last
+    if isinstance(cur, list):
+        while len(cur) <= last:
+            cur.append(None)
+        cur[last] = value
+    else:
+        cur[last] = value
 
-    # regroup packed tensors
+
+def _decode_arrays(data: dict, tree: dict, kv_eq: dict) -> None:
+    """Regroup one npz's arrays into ``tree`` (PackedLinear groups
+    reassembled, __bf16__ views restored, __kv_eq__ split out)."""
     packed_groups: dict[str, dict[str, np.ndarray]] = {}
     plain: dict[str, np.ndarray] = {}
-    kv_eq: dict[str, np.ndarray] = {}
     for name, arr in data.items():
         if name.startswith("__kv_eq__"):
             kv_eq[name[len("__kv_eq__"):]] = arr
@@ -106,39 +159,11 @@ def load_quantized(path: str):
 
             plain[name[len("__bf16__"):]] = arr.view(ml_dtypes.bfloat16)
             continue
-        base, leaf = name.rsplit(".", 1)
-        if leaf in ("codes", "scale", "zero", "bias", "__packed__"):
+        base, leaf = name.rsplit(".", 1) if "." in name else ("", name)
+        if leaf in ("codes", "scale", "zero", "bias", "__packed__") and base:
             packed_groups.setdefault(base, {})[leaf] = arr
         else:
             plain[name] = arr
-
-    tree: dict = {}
-
-    def insert(tree, dotted, value):
-        parts = dotted.split(".")
-        cur = tree
-        for i, p in enumerate(parts[:-1]):
-            nxt = parts[i + 1]
-            if p.isdigit():
-                p = int(p)
-            if isinstance(cur, list):
-                while len(cur) <= p:
-                    cur.append({})
-                if not cur[p]:
-                    cur[p] = [] if nxt.isdigit() else {}
-                cur = cur[p]
-            else:
-                if p not in cur or not cur[p]:
-                    cur[p] = [] if nxt.isdigit() else {}
-                cur = cur[p]
-        last = parts[-1]
-        last = int(last) if last.isdigit() else last
-        if isinstance(cur, list):
-            while len(cur) <= last:
-                cur.append(None)
-            cur[last] = value
-        else:
-            cur[last] = value
 
     # only treat a group as PackedLinear when the __packed__ marker is
     # present; a plain param that merely ends in .bias/.scale/... (e.g. a
@@ -151,7 +176,7 @@ def load_quantized(path: str):
             del packed_groups[base]
 
     for name, arr in plain.items():
-        insert(tree, name, arr)
+        _insert(tree, name, arr)
     for base, parts in packed_groups.items():
         bits, gs, in_f, out_f = (int(x) for x in parts["__packed__"])
         pl = PackedLinear(
@@ -159,7 +184,39 @@ def load_quantized(path: str):
             bits=bits, group_size=gs, in_features=in_f, out_features=out_f,
             bias=parts.get("bias"),
         )
-        insert(tree, base, pl)
+        _insert(tree, base, pl)
+
+
+def load_quantized(path: str, layer_callback=None):
+    """Load a packed checkpoint → (params tree with PackedLinear leaves,
+    ModelConfig, quant_config dict).
+
+    For layer-sharded checkpoints (``save_quantized(shard_layers=True)``,
+    the 70B-scale format) layers stream one npz at a time;
+    ``layer_callback(li, layer_tree) -> layer_tree`` runs on each layer
+    subtree as soon as it is assembled — e.g. ``jax.device_put`` with
+    that layer's TP shardings — so peak host memory is bounded by one
+    layer instead of the whole model."""
+    with open(os.path.join(path, "config.json")) as f:
+        meta = json.load(f)
+    cfg = ModelConfig(**meta["model_config"])
+    kv_eq: dict[str, np.ndarray] = {}
+    tree: dict = {}
+    with np.load(os.path.join(path, "weights.npz")) as data:
+        _decode_arrays(dict(data), tree, kv_eq)
+    n_shards = int(meta.get("layer_shards", 0))
+    if n_shards:
+        layers = tree.setdefault("model", {}).setdefault("layers", [])
+        for li in range(n_shards):
+            sub: dict = {}
+            with np.load(
+                    os.path.join(path, f"layer_{li:03d}.npz")) as data:
+                _decode_arrays(dict(data), sub, kv_eq)
+            if layer_callback is not None:
+                sub = layer_callback(li, sub)
+            while len(layers) <= li:
+                layers.append(None)
+            layers[li] = sub
     qconf = dict(meta.get("quant_config", {}))
     if kv_eq:
         qconf["kv_equalizers"] = (kv_eq["k"], kv_eq["v"])

@@ -123,9 +123,11 @@ class Engine:
         ``stack_layers``: scan-friendly stacked layer params (one traced
         decode layer regardless of depth)."""
         assert cfg.family == "llama", (
-            "the serving engine implements the rope/GQA decode path; "
-            "gpt2/opt-family models are supported for quantization/eval "
-            "only")
+            "the serving engine is llama-family by design (rope/GQA "
+            "decode path — README.md §Supported architectures); "
+            "gpt2/opt-family models quantize/eval/export but generate "
+            "through tgq.models.causal_lm.forward or an HF runtime via "
+            "hf_export")
         self.cfg = cfg
         self.scfg = scfg
         self.mesh = mesh
