@@ -143,18 +143,20 @@ def _serve_bench(on_tpu: bool) -> None:
             "--prompt_len", "128", "--gen_tokens", "128",
             "--n_requests", "128", "--decode_chunk", "16"]
     # two configs: 64 slots matches BENCH_r03's serving line key-for-key
-    # (round-over-round comparability); 128 slots is the throughput
-    # config — saturating the chip's slot capacity is where decode is
-    # MXU-bound rather than weight-stream-bound, and chunked prefill
-    # admission keeps TTFT near its compute floor (the median request
-    # sits behind ~8k prompt tokens of MXU-bound prefill, ~0.7 s at
-    # peak, plus ~50 ms/dispatch of remote-tunnel latency)
-    for metric, slots in (("qwen3_8b_decode_tok_s", 64),
-                          ("qwen3_8b_serving_best", 128)):
-        print(f"[bench] serving benchmark (qwen3-8b, {slots} slots) ...",
-              file=sys.stderr)
+    # (round-over-round comparability); 128 slots + W4A8 is the
+    # throughput config — saturating the chip's slot capacity is where
+    # decode is MXU/BW-balanced rather than weight-stream-bound, W4A8
+    # halves the prefill compute (int8 MXU), and chunked prefill
+    # admission keeps TTFT near its compute floor.  A8's measured e2e
+    # quality cost on the trained-tiny harness: +0.0007 ppl on top of
+    # W4's +0.044 (test_pipeline_e2e.py::test_a8_...).
+    for metric, slots, extra in (
+            ("qwen3_8b_decode_tok_s", 64, []),
+            ("qwen3_8b_serving_best", 128, ["--a_bits", "8"])):
+        print(f"[bench] serving benchmark (qwen3-8b, {slots} slots"
+              f"{' W4A8' if extra else ''}) ...", file=sys.stderr)
         res = serve_cli.run(serve_cli.build_parser().parse_args(
-            base + ["--max_slots", str(slots)]))
+            base + ["--max_slots", str(slots)] + extra))
         print(json.dumps({
             "metric": metric,
             "value": res["decode_only_tok_s"],

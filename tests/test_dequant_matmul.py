@@ -74,3 +74,65 @@ def test_matches_true_weight_error_level(rng):
     want = x @ wq.T
     rel = np.linalg.norm(y - want) / np.linalg.norm(want)
     assert rel < 1e-2, rel
+
+
+@pytest.mark.parametrize("bits", [2, 3, 4])
+def test_a8_matches_quantized_activation_oracle(rng, bits):
+    """W4A8 kernel (int8 activations × zero-shifted int8 codes on the
+    MXU, per-group f32 scale accumulate) == dequantize-everything
+    oracle on the SAME quantized activations: the asym zero-point is
+    integer-valued so q − z fits int8 and the int32 dot is exact."""
+    import dataclasses
+
+    from tgq.kernels.dequant_matmul import quantize_activations
+
+    pl_w = make_packed(rng, 256, 512, bits, 128)
+    w8 = dataclasses.replace(pl_w, act_bits=8)
+    x = jnp.asarray(rng.normal(size=(16, 512)).astype(np.float32))
+    x8, a = quantize_activations(x)
+    xq = x8.astype(jnp.float32) * a
+    y_ref = quantized_matmul(xq, pl_w, impl="xla")
+    y = quantized_matmul(x, w8, impl="pallas", token_tile=8,
+                         out_tile=128, k_tile=256)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-3)
+
+
+def test_a8_sym_and_bias(rng):
+    import dataclasses
+
+    pl_w = make_packed(rng, 128, 256, 4, 128, sym=True)
+    pl_w = dataclasses.replace(
+        pl_w, bias=jnp.asarray(rng.normal(size=(128,)).astype(np.float32)))
+    w8 = dataclasses.replace(pl_w, act_bits=8)
+    from tgq.kernels.dequant_matmul import quantize_activations
+
+    x = jnp.asarray(rng.normal(size=(4, 256)).astype(np.float32))
+    x8, a = quantize_activations(x)
+    y_ref = quantized_matmul(x8.astype(jnp.float32) * a, pl_w, impl="xla")
+    y = quantized_matmul(x, w8, impl="pallas", token_tile=8,
+                         out_tile=128, k_tile=256)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-3)
+
+
+def test_a8_stacked_layer_index(rng):
+    """Layer-stacked A8 (the decode scan's form): 3-D codes + traced
+    layer index through the scalar-prefetch grid."""
+    import dataclasses
+
+    from tgq.kernels.dequant_matmul import quantize_activations
+
+    ws = [make_packed(rng, 128, 256, 4, 128) for _ in range(3)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *ws)
+    stacked8 = dataclasses.replace(stacked, act_bits=8)
+    x = jnp.asarray(rng.normal(size=(8, 256)).astype(np.float32))
+    x8, a = quantize_activations(x)
+    for li in range(3):
+        y = quantized_matmul(x, stacked8, impl="pallas", token_tile=8,
+                             out_tile=128, k_tile=256,
+                             layer=jnp.int32(li))
+        y_ref = quantized_matmul(x8.astype(jnp.float32) * a, ws[li],
+                                 impl="xla")
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=2e-4, atol=2e-3)

@@ -608,3 +608,44 @@ def test_sub_nibble_packed_serving(bits):
     for rq, rd in zip(reqs_q, reqs_d):
         assert len(rq.output) == 5
         assert rq.output == rd.output, (bits, rq.output, rd.output)
+
+
+def test_engine_a8_runs_and_tracks_a16():
+    """ServeConfig(a_bits=8): W4A8 activations through the packed
+    matmuls (simulated on CPU by the XLA fallback's fake-quant — same
+    semantics as the int8-MXU kernel, which is oracle-exact in
+    tests/test_dequant_matmul.py).  Greedy outputs are finite, in-vocab,
+    and mostly agree with A16 on a tiny model."""
+    import dataclasses
+
+    from tgq.core.quant import QuantSpec
+    from tgq.models.config import PRESETS
+    from tgq.models.hf_import import init_packed_params
+    from tgq.serve import Engine, ServeConfig
+
+    cfg = PRESETS["tiny-qwen3"]
+    spec = QuantSpec(bits=4, group_size=32, sym=False)
+    params = init_packed_params(cfg, spec, seed=0)
+    scfg = ServeConfig(max_slots=2, page_size=8, num_pages=32,
+                       max_pages_per_slot=4, max_new_tokens=6,
+                       decode_chunk=2, kv_bits=8)
+    prompts = [[5, 17, 42], [7, 9, 3, 1]]
+
+    ref_eng = Engine(params, cfg, scfg)
+    ref = [ref_eng.submit(p) for p in prompts]
+    ref_eng.run()
+
+    scfg8 = dataclasses.replace(scfg, a_bits=8)
+    eng8 = Engine(params, cfg, scfg8)
+    out8 = [eng8.submit(p) for p in prompts]
+    eng8.run()
+
+    agree = total = 0
+    for r, t in zip(ref, out8):
+        assert len(t.output) == len(r.output)
+        assert all(0 <= tok < cfg.vocab_size for tok in t.output)
+        agree += sum(a == b for a, b in zip(r.output, t.output))
+        total += len(r.output)
+    # A8 perturbs logits slightly; on flat random-model logits some
+    # greedy flips are expected, wholesale divergence is not
+    assert agree >= total // 2, (agree, total)

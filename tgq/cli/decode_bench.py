@@ -47,6 +47,8 @@ def main(argv=None) -> int:
     ap.add_argument("--context", type=int, default=256)
     ap.add_argument("--page_size", type=int, default=64)
     ap.add_argument("--kv_bits", type=int, default=8, choices=(16, 8, 4))
+    ap.add_argument("--a_bits", type=int, default=16, choices=(16, 8),
+                    help="activation precision for the packed matmuls")
     ap.add_argument("--lm_head_bits", type=int, default=8, choices=(16, 8))
     ap.add_argument("--reps", type=int, default=8)
     ap.add_argument("--skip_components", action="store_true",
@@ -74,6 +76,10 @@ def main(argv=None) -> int:
 
     params = init_packed_params(cfg, spec, seed=0,
                                 lm_head_bits=args.lm_head_bits)
+    if args.a_bits == 8:
+        from tgq.serve.engine import _mark_act_bits
+
+        params = _mark_act_bits(params, 8)
     params = stack_layer_params(fuse_packed_projections(params))
     layers = params["model"]["layers"]
     jax.block_until_ready(jax.tree.leaves(layers)[0])
@@ -232,7 +238,7 @@ def _composed_only(args, cfg, params, cache, table, lens, pos, results):
     config = {"model": args.model_id, "slots": slots,
               "context": args.context, "page_size": page,
               "w_bits": args.w_bits, "kv_bits": args.kv_bits,
-              "lm_head_bits": args.lm_head_bits}
+              "a_bits": args.a_bits, "lm_head_bits": args.lm_head_bits}
     has_components = any(k != "composed_ms" for k in results)
     if has_components:
         total = sum(v for k, v in results.items() if k != "composed_ms")

@@ -138,6 +138,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--prefill_chunk_tokens", type=int, default=4096,
                     help="max padded prompt tokens per admission "
                          "dispatch (0 = one monolithic wave)")
+    ap.add_argument("--a_bits", type=int, default=16, choices=(16, 8),
+                    help="activation precision for packed matmuls "
+                         "(8 = W4A8 int8-MXU path; needs w_bits <= 4)")
     ap.add_argument("--lm_head_bits", type=int, default=16, choices=(16, 8),
                     help="vocab-head quantization (serving only; the "
                          "decode-step vocab matmul reads >1 GB bf16/step "
@@ -209,6 +212,7 @@ def run(args) -> dict:
         seed=args.seed, decode_chunk=args.decode_chunk, kv_bits=args.kv_bits,
         kv_k_eq=k_eq, kv_v_eq=v_eq,
         prefill_chunk_tokens=args.prefill_chunk_tokens,
+        a_bits=args.a_bits,
     )
     eng = Engine(params, cfg, scfg, mesh=mesh)
 
@@ -248,6 +252,7 @@ def run(args) -> dict:
         "ttft_p50_s": round(float(np.percentile(ttft, 50)), 3),
         "config": {
             "model": cfg.name, "w_bits": args.w_bits, "kv_bits": args.kv_bits,
+            "a_bits": args.a_bits,
             "slots": args.max_slots, "decode_chunk": args.decode_chunk,
             "prompt_len": args.prompt_len,
             "gen_tokens": args.gen_tokens, "n_requests": args.n_requests,

@@ -159,6 +159,12 @@ class PackedLinear:
     # locally (a pallas_call inside pjit cannot be auto-partitioned)
     tp_kind: str | None = dataclasses.field(
         default=None, metadata={"static": True})
+    # activation precision for the fused matmul: 16 = bf16 MXU (default),
+    # 8 = W4A8 — per-token-absmax int8 activations × zero-shifted int8
+    # weight codes on the int8 MXU (2× the bf16 rate on v5e).  Set by the
+    # serving engine (ServeConfig.a_bits) via tgq.serve.engine; only
+    # meaningful for bits <= 4 (q - z must fit int8).
+    act_bits: int = dataclasses.field(default=16, metadata={"static": True})
 
     @classmethod
     def from_codes(
@@ -205,8 +211,8 @@ def concat_out(parts: list[PackedLinear]) -> PackedLinear:
     dispatches."""
     p0 = parts[0]
     for p in parts[1:]:
-        assert (p.bits, p.group_size, p.in_features) == (
-            p0.bits, p0.group_size, p0.in_features), (p, p0)
+        assert (p.bits, p.group_size, p.in_features, p.act_bits) == (
+            p0.bits, p0.group_size, p0.in_features, p0.act_bits), (p, p0)
     if any(p.bias is not None for p in parts):
         bias = jnp.concatenate([
             p.bias if p.bias is not None
@@ -223,6 +229,7 @@ def concat_out(parts: list[PackedLinear]) -> PackedLinear:
         in_features=p0.in_features,
         out_features=sum(p.out_features for p in parts),
         bias=bias,
+        act_bits=p0.act_bits,
     )
 
 
@@ -251,4 +258,5 @@ def pad_out(p: PackedLinear, multiple: int = 512) -> PackedLinear:
         in_features=p.in_features,
         out_features=m_pad,
         bias=None if p.bias is None else jnp.pad(p.bias, (0, pc)),
+        act_bits=p.act_bits,
     )

@@ -57,6 +57,13 @@ class ServeConfig:
     kv_v_eq: Optional[object] = None
     # decode attention backend: "auto" | "kernel" | "gather"
     attn_impl: str = "auto"
+    # activation precision for the packed matmuls: 16 = bf16 MXU, 8 =
+    # W4A8 (per-token-absmax int8 activations on the int8 MXU, 2× the
+    # bf16 rate on v5e — tgq.kernels.dequant_matmul._a8_matmul_kernel).
+    # Applies to decode AND prefill; w_bits must be <= 4.  Off-TPU
+    # backends simulate the same semantics by fake-quantizing
+    # activations in the XLA path.
+    a_bits: int = 16
     # dispatch decode chunk N+1 from the on-device token carry before
     # fetching chunk N's tokens: the device runs continuously while the
     # host processes results (token-identical; a slot that finishes
@@ -114,6 +121,27 @@ class Request:
     finish_t: float = 0.0
 
 
+def _mark_act_bits(params, bits: int):
+    """Tag every packed DECODER-LAYER linear with the activation
+    precision (W4A8); the lm_head stays on its own path (int8 weights
+    dequantize to bf16 — bandwidth-bound, and its 8-bit codes cannot
+    zero-shift into int8)."""
+    from tgq.core.packing import PackedLinear
+
+    def walk(node):
+        if isinstance(node, PackedLinear):
+            if node.bits in (2, 3, 4):
+                return dataclasses.replace(node, act_bits=bits)
+            return node
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(params)
+
+
 class Engine:
     def __init__(self, params, cfg: ModelConfig, scfg: ServeConfig, mesh=None,
                  stack_layers: bool = True):
@@ -131,6 +159,8 @@ class Engine:
         self.cfg = cfg
         self.scfg = scfg
         self.mesh = mesh
+        if scfg.a_bits == 8:
+            params = _mark_act_bits(params, 8)
         if stack_layers:
             from tgq.serve.decode import (fuse_packed_projections,
                                           stack_layer_params)
