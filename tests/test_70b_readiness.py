@@ -61,7 +61,6 @@ def test_70b_decode_step_traces_under_mesh(mesh):
     """The FULL 70B TP decode step (stacked 80-layer scan, page pools,
     packed W4 weights, INT8 KV) must trace at real shapes — this is
     the shape/dtype/sharding-logic check that does not need 35 GB."""
-    from tgq.core.packing import PackedLinear
     from tgq.core.quant import QuantSpec
     from tgq.models.hf_import import init_packed_params
     from tgq.serve.decode import decode_steps, stack_layer_params

@@ -12,8 +12,6 @@ low-bit trend table) and the ordering tests in tests/test_pipeline_e2e.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -104,7 +104,7 @@ class _BlockCopy:
 
 
 def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
-            init_flag_ref, next_live_ref, w_live_ref,
+            init_flag_ref, next_live_ref, w_live_ref, live_ref,
             q_ref, k_ref, ks_ref, v_ref, vs_ref,
             kc_ref, vc_ref,
             o_ref, m_ref, l_ref,
@@ -219,8 +219,16 @@ def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
                 ks_ref.at[layer, wpage], ksw_tile, w_sems.at[2])
             rmw_vs_in = pltpu.make_async_copy(
                 vs_ref.at[layer, wpage], vsw_tile, w_sems.at[3])
+        # ``live``: host-controlled per-slot write gate.  The engine
+        # decodes ALL slots every step (static shapes), so retired and
+        # prefill-staging slots run through here with garbage tokens —
+        # their attention output is discarded on the host, but a pool
+        # write would scribble: retired slots share the page-0 scratch
+        # row (a cross-program DMA race) and staging slots would touch
+        # their own future-token rows.
+        do_write = (length > 0) & (live_ref[b] > 0)
 
-        @pl.when(length > 0)
+        @pl.when(do_write)
         def _():
             rmw_k_in.start()
             rmw_v_in.start()
@@ -379,7 +387,7 @@ def _kernel(lengths_ref, page_indices_ref, layer_ref, buffer_index_ref,
                 return packed.astype(jnp.uint8), s
             return qv.astype(jnp.int8).reshape(1, fused), s
 
-        @pl.when(length > 0)
+        @pl.when(do_write)
         def _():
             kq, ksc = _quant_row(kc_ref[...].astype(jnp.float32))
             vq, vsc = _quant_row(vc_ref[...].astype(jnp.float32))
@@ -457,6 +465,7 @@ def paged_decode_attention(
     k_current: jax.Array | None = None,
     v_current: jax.Array | None = None,
     w_live: jax.Array | None = None,
+    live: jax.Array | None = None,
     *,
     num_kv_heads: int,
     mask_value: float = DEFAULT_MASK_VALUE,
@@ -579,13 +588,13 @@ def paged_decode_attention(
     pool_out_specs = tuple(None if s is None else any_spec
                            for s in pool_out_shapes)
     # input_output_aliases indexes the FLATTENED call operands (scalar
-    # prefetch included, None entries skipped): 7 scalars, then q=7,
-    # k=8, [ks=9,] v, [vs]; outputs flatten to o=0 [, m=1, l=2], then
+    # prefetch included, None entries skipped): 8 scalars, then q=8,
+    # k=9, [ks=10,] v, [vs]; outputs flatten to o=0 [, m=1, l=2], then
     # the pool outputs in (k, ks, v, vs) order
     aliases = {}
     if alias_pools:
         out_base = 3 if return_stats else 1
-        in_base = 8
+        in_base = 9
         n_pools = 4 if quantized else 2
         for j in range(n_pools):
             aliases[in_base + j] = out_base + j
@@ -604,8 +613,8 @@ def paged_decode_attention(
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             # lengths, page_indices, layer, buffer_index, init_flag,
-            # next_live, w_live
-            num_scalar_prefetch=7,
+            # next_live, w_live, live
+            num_scalar_prefetch=8,
             in_specs=[
                 io_spec,
                 any_spec,
@@ -651,6 +660,8 @@ def paged_decode_attention(
         next_live.astype(jnp.int32),
         (jnp.asarray(w_live, jnp.int32).reshape(1) if has_window
          else jnp.zeros((1,), jnp.int32)),
+        (jnp.ones((batch,), jnp.int32) if live is None
+         else live.astype(jnp.int32)),
         q.astype(jnp.float32),
         k_pages,
         k_scales if quantized else None,

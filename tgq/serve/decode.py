@@ -337,7 +337,7 @@ def _gather_attention_window(cfg: ModelConfig, q, cache, li, table, lens,
 
 def _decode_layer(lp, li, cfg: ModelConfig, x, cache: PagedKVCache,
                   cos_p, sin_p, pos, pages, offsets, table, lens,
-                  attn_impl: str, win=None, w_live=None):
+                  attn_impl: str, win=None, w_live=None, live=None):
     """One decoder layer's decode for all slots.  Returns (x, cache,
     kv_rows).  With ``win``/``w_live`` (chunk-window mode) the pools are
     never written here — rows flow back for the window write."""
@@ -409,7 +409,7 @@ def _decode_layer(lp, li, cfg: ModelConfig, x, cache: PagedKVCache,
             attn, pk, pv, pks, pvs = paged_decode_attention(
                 qs, cache.k, cache.v,
                 cache.ks, cache.vs, li, lens, table,
-                k_cur, v_cur,
+                k_cur, v_cur, live=live,
                 num_kv_heads=cfg.num_kv_heads, alias_pools=True,
                 write_current=True)
             cache = dataclasses.replace(cache, k=pk, v=pv, ks=pks, vs=pvs)
@@ -450,7 +450,10 @@ def _decode_layer(lp, li, cfg: ModelConfig, x, cache: PagedKVCache,
             cfg, q, cache, li, table, lens, win, w_live,
             kv_rows[0], kv_rows[1]).astype(jnp.float32)
     else:
-        cache = kv_write_token(cache, li, pages, offsets, k, v)
+        # live gate: retired/staging slots must not scribble their (or
+        # the scratch page's) rows — route their writes to page 0
+        wpages = pages if live is None else jnp.where(live > 0, pages, 0)
+        cache = kv_write_token(cache, li, wpages, offsets, k, v)
         attn = _gather_attention(cfg, q, cache, li, table, lens)
 
     x = x + apply_linear(lp["self_attn"]["o_proj"],
@@ -475,7 +478,7 @@ def _decode_layer(lp, li, cfg: ModelConfig, x, cache: PagedKVCache,
 
 def _decode_core(params, cache: PagedKVCache, cfg: ModelConfig,
                  table, lens, tokens, pos, attn_impl: str,
-                 win=None, w_live=None):
+                 win=None, w_live=None, live=None):
     """One token for every slot.
 
     table: (slots, mpps) int32; lens: (slots,) lengths *including* the
@@ -509,7 +512,7 @@ def _decode_core(params, cache: PagedKVCache, cfg: ModelConfig,
             x, cache, kv_rows = _decode_layer(
                 lp, li, cfg, x, cache, cos_p, sin_p,
                 pos, pages, offsets, table, lens, attn_impl,
-                win=win, w_live=w_live)
+                win=win, w_live=w_live, live=live)
             rows.append(kv_rows)
         if rows and rows[0] is not None:
             ka = jnp.stack([r[0] for r in rows]).reshape(
@@ -517,7 +520,9 @@ def _decode_core(params, cache: PagedKVCache, cfg: ModelConfig,
             va = jnp.stack([r[1] for r in rows]).reshape(
                 len(rows), slots, cfg.num_kv_heads, cfg.head_dim)
             if win is None:
-                cache = kv_write_token_all(cache, pages, offsets, ka, va)
+                wpages = (pages if live is None
+                          else jnp.where(live > 0, pages, 0))
+                cache = kv_write_token_all(cache, wpages, offsets, ka, va)
             else:
                 out_rows = (ka, va)
     else:
@@ -529,7 +534,7 @@ def _decode_core(params, cache: PagedKVCache, cfg: ModelConfig,
             x, cache, kv_rows = _decode_layer(
                 lp, li, cfg, x, cache, cos_p, sin_p,
                 pos, pages, offsets, table, lens, attn_impl,
-                win=win, w_live=w_live)
+                win=win, w_live=w_live, live=live)
             return (x, cache), kv_rows
 
         (x, cache), rows = jax.lax.scan(
@@ -541,7 +546,9 @@ def _decode_core(params, cache: PagedKVCache, cfg: ModelConfig,
                                  cfg.head_dim)
             if win is None:
                 # one batched scatter for all layers' current-token K/V
-                cache = kv_write_token_all(cache, pages, offsets, ka, va)
+                wpages = (pages if live is None
+                          else jnp.where(live > 0, pages, 0))
+                cache = kv_write_token_all(cache, wpages, offsets, ka, va)
             else:
                 out_rows = (ka, va)
 
@@ -554,7 +561,7 @@ def _decode_core(params, cache: PagedKVCache, cfg: ModelConfig,
          donate_argnums=(1,))
 def decode_step(params, cache: PagedKVCache, cfg: ModelConfig,
                 table, lens, tokens, pos, attn_impl: str = "gather",
-                mesh=None):
+                mesh=None, live=None):
     """One decode token per slot.  ``mesh`` is static and scopes the TP
     routing of packed matmuls for this trace — part of the jit cache key
     so mesh/non-mesh engines never alias a compiled program."""
@@ -562,7 +569,7 @@ def decode_step(params, cache: PagedKVCache, cfg: ModelConfig,
 
     with serving_mesh_scope(mesh):
         logits, cache, _ = _decode_core(params, cache, cfg, table, lens,
-                                        tokens, pos, attn_impl)
+                                        tokens, pos, attn_impl, live=live)
     return logits, cache
 
 
@@ -591,7 +598,7 @@ def _sample_tokens(logits, temps, key, greedy_only: bool = False):
 def decode_steps(params, cache: PagedKVCache, cfg: ModelConfig,
                  table, lens, tokens, pos, temps, key, n_steps: int,
                  attn_impl: str = "gather", mesh=None,
-                 greedy_only: bool = False):
+                 greedy_only: bool = False, live=None):
     """``n_steps`` tokens for every slot with zero host round-trips.
 
     The per-step host sync (sampled-token D2H + full-logits transfer)
@@ -627,7 +634,8 @@ def decode_steps(params, cache: PagedKVCache, cfg: ModelConfig,
         def step1(carry, _):
             cache, tok, lens, pos, key = carry
             logits, cache, _ = _decode_core(params, cache, cfg, table,
-                                            lens, tok, pos, attn_impl)
+                                            lens, tok, pos, attn_impl,
+                                            live=live)
             tok, key = _sample_tokens(logits, temps, key, greedy_only)
             return (cache, tok, lens + 1, pos + 1, key), tok
 
@@ -652,7 +660,7 @@ def decode_steps(params, cache: PagedKVCache, cfg: ModelConfig,
         win, tok, lens, pos, key, i = carry
         logits, _, rows = _decode_core(params, cache, cfg, table, lens,
                                        tok, pos, attn_impl,
-                                       win=win, w_live=i)
+                                       win=win, w_live=i, live=live)
         win = window_write_step(win, i, rows[0], rows[1])
         tok, key = _sample_tokens(logits, temps, key, greedy_only)
         return (win, tok, lens + 1, pos + 1, key, i + 1), tok
@@ -662,7 +670,7 @@ def decode_steps(params, cache: PagedKVCache, cfg: ModelConfig,
         (win, _, _, _, key, _), toks = jax.lax.scan(
             step, (win, tokens, lens, pos, key, jnp.int32(0)),
             None, length=n_steps)
-        cache = window_flush(cache, win, table, pos0, n_steps)
+        cache = window_flush(cache, win, table, pos0, n_steps, live=live)
     return toks, cache, key
 
 

@@ -425,11 +425,18 @@ class Engine:
         # path — ~300 MB/step of thrown-away gumbel work at a 152k
         # vocab.  At most two jit variants exist (greedy / sampled).
         greedy = all(temps[s] == 0 for s in active)
+        # per-slot write gate: the step computes ALL slots (static
+        # shapes) but only active ones may write KV — retired slots
+        # would race on the page-0 scratch rows and prefill-staging
+        # slots would scribble their own pages
+        live = np.zeros((self.scfg.max_slots,), np.int32)
+        live[active] = 1
         toks, self.cache, self.key = decode_steps(
             self.params, self.cache, self.cfg, table,
             jnp.asarray(lens0 + 1), jnp.asarray(tokens),
             jnp.asarray(lens0), jnp.asarray(temps), self.key, n,
             self.attn_impl, mesh=self.mesh, greedy_only=greedy,
+            live=jnp.asarray(live),
         )
         self.steps += n
         return _Chunk(toks, [(s, self.slots[s]) for s in active], n)

@@ -504,7 +504,7 @@ def window_write_step(win, i, k_all: jax.Array, v_all: jax.Array):
 
 
 def window_flush(cache: PagedKVCache, win, table: jax.Array,
-                 pos0: jax.Array, n: int) -> PagedKVCache:
+                 pos0: jax.Array, n: int, live=None) -> PagedKVCache:
     """Quantize (when the pools are quantized) and scatter the window's
     first ``n`` columns into the pools — ONE aliasing event per chunk
     instead of per step.
@@ -519,7 +519,12 @@ def window_flush(cache: PagedKVCache, win, table: jax.Array,
     page = cache.page_size
     j = jnp.arange(n, dtype=jnp.int32)
     pos = pos0[:, None] + j[None, :]                  # (slots, n)
-    pages = jnp.take_along_axis(table, pos // page, axis=1)  # (slots, n)
+    pidx = jnp.clip(pos // page, 0, table.shape[1] - 1)
+    pages = jnp.take_along_axis(table, pidx, axis=1)  # (slots, n)
+    if live is not None:
+        # retired/staging slots' window rows are garbage — flush them
+        # to the page-0 scratch instead of their (or a future) real page
+        pages = jnp.where(live[:, None] > 0, pages, 0)
     offsets = (pos % page).reshape(-1)
     pages = pages.reshape(-1)
     # window is (L, slots, kvh, W, d): bring tokens ahead of heads
