@@ -573,3 +573,49 @@ def test_glu_fused_matmul_matches_split():
               want)
         check(np.asarray(quantized_matmul(gu, layers[li], impl="xla",
                                           glu=True), np.float32), want)
+
+
+def test_decode_steps_kernel_live_gate_with_dead_slots():
+    """In-kernel KV writes with retired (live=0) slots present: the
+    dead slots' garbage rows must not land anywhere (their page-table
+    rows point at the page-0 scratch AND the live gate blocks the
+    write), the live slot decodes identically to a run without dead
+    slots, and the interpret-mode DMA race detector sees no cross-slot
+    write races on the scratch page."""
+    from tgq.models import PRESETS, init_params
+    from tgq.serve.decode import decode_steps, prefill_batch, \
+        stack_layer_params
+    from tgq.serve.kv_cache import PagedKVCache
+
+    cfg = PRESETS["tiny-qwen3-kv128"]
+    params = stack_layer_params(init_params(cfg, jax.random.key(0)))
+    page, n_pages, mpps = 8, 32, 4
+
+    def run(slots, live):
+        cache = PagedKVCache.init(cfg, n_pages, page, kv_bits=8)
+        ids = np.zeros((slots, page), np.int32)
+        ids[0, :8] = [5, 17, 42, 100, 7, 9, 3, 1]
+        slot_pages = np.arange(1, slots + 1, dtype=np.int32).reshape(slots, 1)
+        toks, cache, key = prefill_batch(
+            params, cache, cfg, jnp.asarray(slot_pages), jnp.asarray(ids),
+            jnp.asarray([8] + [1] * (slots - 1), np.int32),
+            jnp.zeros((slots,), np.float32), jax.random.key(0))
+        table = np.zeros((slots, mpps), np.int32)
+        table[0, 0] = 1
+        table[0, 1] = slots + 1
+        # dead slots keep lens like freshly-retired ones (engine passes
+        # pt.lens of 0 -> lens 1) and page-0-clamped table rows
+        lens0 = np.asarray([8] + [0] * (slots - 1), np.int32)
+        out, cache, _ = decode_steps(
+            params, cache, cfg, jnp.asarray(table),
+            jnp.asarray(lens0 + 1), toks, jnp.asarray(lens0),
+            jnp.zeros((slots,), np.float32), key, 4, "kernel",
+            live=jnp.asarray(live, np.int32))
+        return np.asarray(out), cache
+
+    out1, cache1 = run(4, [1, 0, 0, 0])
+    out2, _ = run(2, [1, 0])
+    np.testing.assert_array_equal(out1[:, 0], out2[:, 0])
+    # the scratch page took no kernel-path writes at all
+    assert np.all(np.asarray(cache1.k[:, 0]) == 0)
+    assert np.all(np.asarray(cache1.ks[:, 0]) == 0)
