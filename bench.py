@@ -150,9 +150,18 @@ def _serve_bench(on_tpu: bool) -> None:
     # admission keeps TTFT near its compute floor.  A8's measured e2e
     # quality cost on the trained-tiny harness: +0.0007 ppl on top of
     # W4's +0.044 (test_pipeline_e2e.py::test_a8_...).
+    # 192 slots W4A8 is the throughput ceiling on one 16 GB v5e (the KV
+    # pool + weights cap the slot count — 256 OOMs), trading TTFT
+    # (~1.2 s: the median request waits behind ~12k tokens of prefill
+    # compute) for peak decode; 128 slots meets every r3 serving
+    # directive at once (TTFT p50 <= 1 s, overall >= 3200).
     for metric, slots, extra in (
             ("qwen3_8b_decode_tok_s", 64, []),
-            ("qwen3_8b_serving_best", 128, ["--a_bits", "8"])):
+            ("qwen3_8b_serving_best", 128,
+             ["--a_bits", "8", "--page_size", "128"]),
+            ("qwen3_8b_serving_max_throughput", 192,
+             ["--a_bits", "8", "--page_size", "128",
+              "--n_requests", "192"])):
         print(f"[bench] serving benchmark (qwen3-8b, {slots} slots"
               f"{' W4A8' if extra else ''}) ...", file=sys.stderr)
         res = serve_cli.run(serve_cli.build_parser().parse_args(
