@@ -177,3 +177,38 @@ def test_serving_rejects_opt(params):
 
     with pytest.raises(AssertionError, match="rope/GQA"):
         Engine(params, CFG, ServeConfig(max_slots=1))
+
+
+def test_opt_greedy_generate_end_to_end():
+    """The documented non-llama generation path (README §Supported
+    architectures): quantize a tiny OPT model, then generate greedily
+    through the family-agnostic full-recompute path — serving the
+    boundary the paged-KV engine intentionally does not cover."""
+    import numpy as np
+
+    from tgq.calib import QuantizeConfig, quantize_model, \
+        synthetic_calibration
+    from tgq.models.causal_lm import greedy_generate
+
+    cfg = PRESETS["tiny-opt"]
+    params = init_params(cfg, jax.random.key(0))
+    calib = synthetic_calibration(cfg.vocab_size, n_samples=4, seq_len=32,
+                                  seed=0)
+    qcfg = QuantizeConfig(mode="pchol", w_bits=8, group_size=32,
+                          batch_size=2, block_size=32, attn_impl="naive",
+                          eps=1e-6)
+    qparams, _, _ = quantize_model(params, cfg, calib, qcfg)
+
+    prompt = [5, 17, 42, 7]
+    out = greedy_generate(qparams, cfg, prompt, 6, attn_impl="naive")
+    assert len(out) == 6
+    assert all(0 <= t < cfg.vocab_size for t in out)
+    # greedy == manual argmax loop over full forwards (oracle)
+    from tgq.models.causal_lm import forward
+
+    seq = list(prompt)
+    for _ in range(6):
+        logits = forward(qparams, cfg, jnp.asarray([seq]),
+                         attn_impl="naive")
+        seq.append(int(np.argmax(np.asarray(logits[0, -1]))))
+    assert out == seq[len(prompt):]

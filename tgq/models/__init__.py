@@ -1,5 +1,6 @@
 from tgq.models.config import ModelConfig, PRESETS
 from tgq.models.causal_lm import (
+    greedy_generate,
     init_params,
     embed_tokens,
     decoder_layer,

@@ -25,6 +25,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tgq.core.packing import PackedLinear
 from tgq.models.config import ModelConfig
@@ -354,6 +355,41 @@ def forward(
         x = decoder_layer(lp, cfg, x, cos, sin, attn_impl=attn_impl)
     x = apply_final_norm(params, cfg, x)
     return lm_logits(params, cfg, x)
+
+
+def greedy_generate(
+    params: Params,
+    cfg: ModelConfig,
+    prompt_ids,
+    max_new_tokens: int,
+    attn_impl: str = "auto",
+) -> list:
+    """Family-agnostic greedy generation via full-recompute ``forward``
+    — the documented generation path for gpt2/opt-family models (the
+    paged-KV serving engine is the fast llama-family path; README
+    §Supported architectures).  One jit for the whole generation:
+    causal attention makes positions ≥ i irrelevant to token i's
+    logits, so the sequence lives in a fixed (1, L) buffer and a
+    ``fori_loop`` fills it — no per-length recompiles.  O(n²·L) — a
+    correctness/bring-up path, not a serving path."""
+    prompt = list(int(t) for t in prompt_ids)
+    n_prompt = len(prompt)
+    total = n_prompt + max_new_tokens
+    assert total <= cfg.max_position_embeddings, (total, cfg)
+    ids0 = jnp.zeros((1, total), jnp.int32).at[0, :n_prompt].set(
+        jnp.asarray(prompt, jnp.int32))
+
+    @partial(jax.jit, static_argnames=("n0",))
+    def gen(params, ids, n0):
+        def body(pos, ids):
+            logits = forward(params, cfg, ids, attn_impl=attn_impl)
+            nxt = jnp.argmax(logits[0, pos - 1]).astype(jnp.int32)
+            return ids.at[0, pos].set(nxt)
+
+        return jax.lax.fori_loop(n0, total, body, ids)
+
+    out = gen(params, ids0, n_prompt)
+    return [int(t) for t in np.asarray(out[0, n_prompt:])]
 
 
 # ---------------------------------------------------------------- init
