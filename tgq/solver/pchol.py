@@ -323,21 +323,28 @@ def pchol_factor(
         lt, _, _, _ = _sweep(h, panel=panel)
         r_full, r_x = _pchol_factors_jit(lt, perm, jnp.int32(rank),
                                          want_rx=want_rx)
-    finite = bool(jnp.isfinite(r_full).all()) and (
-        r_x is None or bool(jnp.isfinite(r_x).all()))
-    if not finite:
-        # f32 breakdown on extreme spectra (cond ≳ 1e9: retained pivots
-        # span more than the triangular solves' f32 range — measured
-        # all-NaN R on a 5-decade synthetic spectrum).  Escalate the
-        # numerical-rank guard once (tail columns degrade to RTN), then
-        # fall back to the host-f64 eigh parity path, which is always
-        # finite — the same failure-ladder shape as the reference's
-        # damping escalation (gptq_utils.py:148-164).
-        if pivot_rtol < 1e-3:
-            return pchol_factor(h, eps=eps, panel=panel, pivot_rtol=1e-3,
-                                want_rx=want_rx)
-        from tgq.solver.factorize import trunc_spectral_factor
+    # f32 breakdown guard: on extreme spectra (cond ≳ 1e9 — retained
+    # pivots spanning more than the triangular solves' f32 range) the
+    # factor build goes all-NaN (measured on a 5-decade synthetic
+    # spectrum).  The eager isfinite fetch is a BLOCKING host sync that
+    # costs ~0.2 s/layer of lost pipeline overlap on the 8B bench, so
+    # it only runs when the (already host-resident) pivot history says
+    # breakdown is even possible: retained dynamic range > 1e4 — which
+    # the device sweep's pivot_rtol=1e-4 floor makes impossible, so the
+    # hot path never syncs.  On breakdown: escalate the numerical-rank
+    # guard once (tail columns degrade to RTN), then fall back to the
+    # host-f64 eigh parity path — the same failure-ladder shape as the
+    # reference's damping escalation (gptq_utils.py:148-164).
+    pivot_ratio = pivhist[0] / max(float(pivhist[rank - 1]), 1e-300)
+    if pivot_ratio > 1e4:
+        finite = bool(jnp.isfinite(r_full).all()) and (
+            r_x is None or bool(jnp.isfinite(r_x).all()))
+        if not finite:
+            if pivot_rtol < 1e-3:
+                return pchol_factor(h, eps=eps, panel=panel,
+                                    pivot_rtol=1e-3, want_rx=want_rx)
+            from tgq.solver.factorize import trunc_spectral_factor
 
-        return trunc_spectral_factor(np.asarray(h, np.float64), eps=eps,
-                                     method="energy")
+            return trunc_spectral_factor(np.asarray(h, np.float64),
+                                         eps=eps, method="energy")
     return FactorResult(r_full=r_full, perm=perm, rank=rank, r_x=r_x)
