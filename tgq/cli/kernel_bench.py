@@ -94,9 +94,11 @@ def main(argv=None) -> int:
 
         # Slope timing: t(2N) - t(N) cancels the fixed dispatch+fetch
         # overhead (~30 ms through the tunnel) that would otherwise
-        # inflate the per-rep figure.  Tunnel jitter can make a single
-        # slope non-positive (the clamp then reported absurd GB/s) —
-        # retry a few times and keep the best positive measurement.
+        # inflate the per-rep figure.  Keep ALL slope samples — under
+        # roughly symmetric tunnel jitter, discarding negative ones
+        # biases dt low and the reported GB/s high (advisor r4) — and
+        # take the median of the full set; skip the row only when that
+        # median is non-positive (hopelessly jittery measurement).
         _ = float(many(x, args.reps))  # compile + settle
         _ = float(many(x, 2 * args.reps))
         slopes = []
@@ -105,15 +107,13 @@ def main(argv=None) -> int:
             t_n = float(many(x, args.reps)) * 0 + time.time() - t0
             t0 = time.time()
             t_2n = float(many(x, 2 * args.reps)) * 0 + time.time() - t0
-            s = (t_2n - t_n) / args.reps
-            if s > 0:
-                slopes.append(s)
-        if not slopes:
+            slopes.append((t_2n - t_n) / args.reps)
+        slopes.sort()
+        dt = slopes[len(slopes) // 2]
+        if dt <= 0:
             print(f"[kernel] {name}: unstable timing, skipped",
                   flush=True)
             continue
-        slopes.sort()
-        dt = slopes[len(slopes) // 2]
         wb = weight_bytes(in_f, out_f, args.w_bits, args.group_size)
         gbps = wb / dt / 1e9
         rows.append({

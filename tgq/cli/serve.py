@@ -252,7 +252,11 @@ def run(args) -> dict:
         "ttft_p50_s": round(float(np.percentile(ttft, 50)), 3),
         "config": {
             "model": cfg.name, "w_bits": args.w_bits, "kv_bits": args.kv_bits,
-            "a_bits": args.a_bits,
+            # record the EFFECTIVE activation precision: a_bits=8 with
+            # w_bits > 4 marks nothing (Engine warns) and must not be
+            # reported as a W?A8 run
+            "a_bits": args.a_bits if eng.a8_active else 16,
+            "a_bits_requested": args.a_bits,
             "slots": args.max_slots, "decode_chunk": args.decode_chunk,
             "prompt_len": args.prompt_len,
             "gen_tokens": args.gen_tokens, "n_requests": args.n_requests,

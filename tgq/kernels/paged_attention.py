@@ -588,17 +588,29 @@ def paged_decode_attention(
     pool_out_specs = tuple(None if s is None else any_spec
                            for s in pool_out_shapes)
     # input_output_aliases indexes the FLATTENED call operands (scalar
-    # prefetch included, None entries skipped): 8 scalars, then q=8,
-    # k=9, [ks=10,] v, [vs]; outputs flatten to o=0 [, m=1, l=2], then
-    # the pool outputs in (k, ks, v, vs) order
+    # prefetch included, None entries skipped — None is an empty
+    # pytree).  Derive the indices from the same presence flags that
+    # build the operand/out lists below, so adding or reordering an
+    # operand cannot silently alias the wrong buffer (a donated pool
+    # aliased wrong corrupts the KV cache with no error).
+    N_SCALARS = 8  # lengths, page_indices, layer, buffer_index,
+    #                init_flag, next_live, w_live, live
+    # tensor operand presence, in call order: q, k, ks, v, vs, kc, vc
+    in_present = [True, True, quantized, True, quantized,
+                  has_current, has_current]
+    # output presence, in out_shape order: o, m, l, k, ks, v, vs
+    out_present = [True, return_stats, return_stats] + [
+        s is not None for s in pool_out_shapes]
     aliases = {}
     if alias_pools:
-        out_base = 3 if return_stats else 1
-        in_base = 9
-        n_pools = 4 if quantized else 2
-        for j in range(n_pools):
-            aliases[in_base + j] = out_base + j
-    out = pl.pallas_call(
+        # pools sit at input positions 1..4 and output positions 3..6,
+        # both in (k, ks, v, vs) order
+        for j, (ip, op) in enumerate(zip((1, 2, 3, 4), (3, 4, 5, 6))):
+            if in_present[ip]:
+                assert out_present[op], (ip, op)
+                aliases[N_SCALARS + sum(in_present[:ip])] = (
+                    sum(out_present[:op]))
+    call = pl.pallas_call(
         functools.partial(
             _kernel,
             batch_size=batch,
@@ -651,7 +663,8 @@ def paged_decode_attention(
             stat_shape if return_stats else None,
         ) + pool_out_shapes,
         input_output_aliases=aliases,
-    )(
+    )
+    scalar_ops = (
         lengths.astype(jnp.int32),
         page_indices.reshape(-1).astype(jnp.int32),
         jnp.asarray(layer, jnp.int32).reshape(1),
@@ -662,6 +675,8 @@ def paged_decode_attention(
          else jnp.zeros((1,), jnp.int32)),
         (jnp.ones((batch,), jnp.int32) if live is None
          else live.astype(jnp.int32)),
+    )
+    tensor_ops = (
         q.astype(jnp.float32),
         k_pages,
         k_scales if quantized else None,
@@ -672,6 +687,10 @@ def paged_decode_attention(
         (v_current.astype(jnp.float32).reshape(batch, 1, fused)
          if has_current else None),
     )
+    # the alias indices above were derived from these exact patterns
+    assert len(scalar_ops) == N_SCALARS
+    assert [x is not None for x in tensor_ops] == in_present, in_present
+    out = call(*scalar_ops, *tensor_ops)
     o, m, l, k_out, ks_out, v_out, vs_out = out
     res = (o, m, l) if return_stats else o.astype(q.dtype)
     if alias_pools:

@@ -125,12 +125,18 @@ def _mark_act_bits(params, bits: int):
     """Tag every packed DECODER-LAYER linear with the activation
     precision (W4A8); the lm_head stays on its own path (int8 weights
     dequantize to bf16 — bandwidth-bound, and its 8-bit codes cannot
-    zero-shift into int8)."""
+    zero-shift into int8).  Returns ``(params, n_marked)`` so the
+    caller can detect a silent no-op (w_bits > 4 packs nothing the A8
+    kernel can run)."""
     from tgq.core.packing import PackedLinear
 
+    n_marked = 0
+
     def walk(node):
+        nonlocal n_marked
         if isinstance(node, PackedLinear):
             if node.bits in (2, 3, 4):
+                n_marked += 1
                 return dataclasses.replace(node, act_bits=bits)
             return node
         if isinstance(node, dict):
@@ -139,7 +145,7 @@ def _mark_act_bits(params, bits: int):
             return [walk(v) for v in node]
         return node
 
-    return walk(params)
+    return walk(params), n_marked
 
 
 class Engine:
@@ -159,8 +165,14 @@ class Engine:
         self.cfg = cfg
         self.scfg = scfg
         self.mesh = mesh
+        self.a8_active = False
         if scfg.a_bits == 8:
-            params = _mark_act_bits(params, 8)
+            params, n_marked = _mark_act_bits(params, 8)
+            self.a8_active = n_marked > 0
+            if not self.a8_active:
+                logger.warning(
+                    "a_bits=8 requested but no decoder-layer linear is "
+                    "packed at bits<=4 — A8 is a no-op (w_bits > 4?)")
         if stack_layers:
             from tgq.serve.decode import (fuse_packed_projections,
                                           stack_layer_params)

@@ -275,7 +275,7 @@ def _pchol_factors_jit(lt: jax.Array, perm: jax.Array, rank: jax.Array,
 
 def pchol_factor(
     h, eps: float = 1e-6, panel: int = 128, pivot_rtol: float = None,
-    want_rx: bool = True,
+    want_rx: bool = True, force_finite_check: bool = False,
 ) -> FactorResult:
     """TruncGPTQ factorization via pivoted Cholesky (TPU fast path).
 
@@ -336,13 +336,19 @@ def pchol_factor(
     # host-f64 eigh parity path — the same failure-ladder shape as the
     # reference's damping escalation (gptq_utils.py:148-164).
     pivot_ratio = pivhist[0] / max(float(pivhist[rank - 1]), 1e-300)
-    if pivot_ratio > 1e4:
+    if force_finite_check or pivot_ratio > 1e4:
+        # force_finite_check: the escalated retry below restricts the
+        # retained pivot ratio under the 1e4 gate *by construction*, so
+        # without the flag a retry that NaNs for any other reason would
+        # return NaN factors silently instead of falling through to the
+        # host-f64 eigh parity path (advisor r4)
         finite = bool(jnp.isfinite(r_full).all()) and (
             r_x is None or bool(jnp.isfinite(r_x).all()))
         if not finite:
             if pivot_rtol < 1e-3:
                 return pchol_factor(h, eps=eps, panel=panel,
-                                    pivot_rtol=1e-3, want_rx=want_rx)
+                                    pivot_rtol=1e-3, want_rx=want_rx,
+                                    force_finite_check=True)
             from tgq.solver.factorize import trunc_spectral_factor
 
             return trunc_spectral_factor(np.asarray(h, np.float64),
