@@ -117,12 +117,13 @@ def test_low_bit_ordering_on_trained_tiny_model():
     must beat RTN at W3 and W2, the degradation must grow as bits
     drop, and the pchol fast path must reproduce the eigh parity path.
 
-    Trunc-vs-GPTQ itself is NOT asserted: on every synthetic regime
-    measured (in-sample, out-of-sample, decade-spanning spectra,
-    trained-tiny e2e) damped-Cholesky GPTQ edges out truncation by a
-    few percent — the reference's published Trunc < GPTQ gap lives on
-    real-LLM Hessian spectra that no hermetic harness here reproduces
-    (see RESULTS.md low-bit quality trend)."""
+    Trunc-vs-GPTQ is NOT asserted HERE (this model has no
+    channel-outlier structure, and in that regime damped-Cholesky GPTQ
+    edges truncation by a few percent); the regime where the
+    reference's Trunc <= GPTQ ordering reproduces — induced
+    massive-activation channels — is pinned by
+    test_trunc_beats_gptq_on_outlier_channel_model below (r5; see
+    RESULTS.md "Where truncation beats damped GPTQ")."""
     import copy
 
     from tgq.calib.tiny_train import sample_stream, train_tiny
@@ -192,5 +193,49 @@ def test_a8_activation_quantization_quality():
         save_quantized(d, qp, packed, cfg)
         tree, _, _ = load_quantized(d)
     d16 = float(ppl_of(tree) - base)
-    d8 = float(ppl_of(_mark_act_bits(tree, 8)) - base)
+    d8 = float(ppl_of(_mark_act_bits(tree, 8)[0]) - base)
     assert d8 - d16 < max(0.25 * abs(d16), 0.02), (d16, d8)
+
+
+def test_trunc_beats_gptq_on_outlier_channel_model():
+    """The reproduced Trunc <= GPTQ regime (r4 VERDICT directive #1).
+
+    Real-LLM hidden states carry massive-activation channels (diag(H)
+    spanning decades); a briefly-trained tiny model does not (measured
+    max/median diag ~ 1.4) — which is why rounds 1-4's harnesses always
+    saw GPTQ edge truncation.  Training the tiny model WITH induced
+    outlier channels (tiny_train outlier_channels=8 @ 100x) restores
+    the property: GPTQ's damp = 0.01*mean(diag) is inflated by the
+    outlier-dominated trace far above the bulk curvature, suppressing
+    its error compensation exactly where most columns live, while
+    truncation compensates undamped (exact in the retained block).
+
+    e2e W3 PPL delta: pchol(eps=1e-6) <= gptq at the reference's own
+    damp_percent=0.01 — holds on 4/4 train seeds (mean -8.5%,
+    artifacts/trunc_w3_robustness_r05.txt); pinned here at seed 1
+    (measured margin ~15%: +0.768 vs +0.908).
+    """
+    import copy
+
+    from tgq.calib.tiny_train import sample_stream, train_tiny
+
+    cfg = PRESETS["tiny-qwen3"]
+    params, probs, _ = train_tiny(cfg, steps=300, seed=1,
+                                  outlier_channels=8, outlier_scale=100.0)
+    calib = sample_stream(probs, 32 * 64, seed=7).reshape(32, 64)
+    eval_ids = sample_stream(probs, 4096, seed=99)
+
+    def ppl_of(p):
+        return perplexity_from_token_stream(
+            p, cfg, eval_ids, max_length=64, stride=32, attn_impl="naive")
+
+    base = ppl_of(params)
+    deltas = {}
+    for mode, kw in (("pchol", dict(eps=1e-6)),
+                     ("gptq", dict(actorder=True, damp_percent=0.01))):
+        qcfg = QuantizeConfig(mode=mode, w_bits=3, group_size=32,
+                              batch_size=4, block_size=32,
+                              attn_impl="naive", pack=False, **kw)
+        p, _, _ = quantize_model(copy.deepcopy(params), cfg, calib, qcfg)
+        deltas[mode] = float(ppl_of(p) - base)
+    assert deltas["pchol"] <= deltas["gptq"], deltas

@@ -649,3 +649,34 @@ def test_engine_a8_runs_and_tracks_a16():
     # A8 perturbs logits slightly; on flat random-model logits some
     # greedy flips are expected, wholesale divergence is not
     assert agree >= total // 2, (agree, total)
+
+
+def test_segmented_nibble_pack_roundtrip():
+    """kv_cache int4 packing with pack_segments: per-segment split-half
+    is exact, reconstructs natural feature order, and a byte-axis
+    shard slice of a segments==tp packed row IS the tp-th segment's
+    own contiguous features (the property the TP kernel relies on)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tgq.serve.kv_cache import _absmax_quantize4, kv_unpack4
+
+    rng = np.random.default_rng(0)
+    kvh, d = 4, 32
+    x = jnp.asarray(rng.standard_normal((3, 5, kvh, d)).astype(np.float32))
+    for seg in (1, 2, 4):
+        q, s = _absmax_quantize4(x, segments=seg)
+        assert q.shape == (3, 5, kvh * d // 2)
+        out = kv_unpack4(q, jnp.float32, segments=seg)
+        ref = jnp.round(jnp.clip(
+            x / s[..., None], -7, 7)).reshape(3, 5, -1)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+        # shard slice property: slice of the byte axis for shard t is
+        # segment t, which unpacks standalone with segments=1
+        B = q.shape[-1] // seg
+        F = kvh * d // seg
+        for t in range(seg):
+            local = kv_unpack4(q[..., t * B:(t + 1) * B], jnp.float32)
+            np.testing.assert_array_equal(
+                np.asarray(local),
+                np.asarray(ref[..., t * F:(t + 1) * F]))

@@ -53,9 +53,20 @@ def sample_stream(probs: np.ndarray, n_tokens: int, seed: int = 1):
 
 def train_tiny(cfg: ModelConfig, steps: int = 300, batch: int = 32,
                seq_len: int = 64, lr: float = 3e-3, seed: int = 0,
-               source_seed: int = 0):
+               source_seed: int = 0, outlier_channels: int = 0,
+               outlier_scale: float = 30.0):
     """Train ``cfg`` from scratch on the Markov source; returns
-    (params, probs) with params in bf16 (the calibration dtype)."""
+    (params, probs) with params in bf16 (the calibration dtype).
+
+    ``outlier_channels`` > 0 scales that many embedding channels by
+    ``outlier_scale`` at init, inducing the massive-activation /
+    channel-outlier structure of real LLM hidden states (diag(H)
+    spanning decades — the property a briefly-trained tiny model lacks:
+    measured max/median diag ≈ 1.4 vs 1e3+ on real models).  The model
+    trains WITH the outliers, so its function genuinely uses them —
+    calibration Hessians then have the trace-dominating channel
+    structure that separates TruncGPTQ from damped GPTQ
+    (tgq.cli.trunc_regimes 'channel' spectrum)."""
     import optax
 
     probs = markov_source(cfg.vocab_size, seed=source_seed)
@@ -63,6 +74,11 @@ def train_tiny(cfg: ModelConfig, steps: int = 300, batch: int = 32,
                            seed=seed + 1)
     params = init_params(cfg, jax.random.key(seed))
     params = jax.tree.map(lambda x: x.astype(jnp.float32), params)
+    if outlier_channels:
+        emb = params["model"]["embed_tokens"]["weight"]
+        scale = jnp.ones((1, emb.shape[1]), emb.dtype).at[
+            :, :outlier_channels].set(outlier_scale)
+        params["model"]["embed_tokens"]["weight"] = emb * scale
     opt = optax.adamw(lr)
     opt_state = opt.init(params)
 

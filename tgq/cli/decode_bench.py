@@ -79,7 +79,7 @@ def main(argv=None) -> int:
     if args.a_bits == 8:
         from tgq.serve.engine import _mark_act_bits
 
-        params = _mark_act_bits(params, 8)
+        params, _ = _mark_act_bits(params, 8)
     params = stack_layer_params(fuse_packed_projections(params))
     layers = params["model"]["layers"]
     jax.block_until_ready(jax.tree.leaves(layers)[0])

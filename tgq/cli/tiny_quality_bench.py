@@ -8,8 +8,23 @@ model TRAINED on a synthetic Markov source (tgq.calib.tiny_train).  A
 random-init model cannot produce this table: its logits are flat and
 every quantizer's PPL delta is noise.
 
+Round-5 axes (r4 VERDICT directives #1/#6):
+- ``--eps`` takes a comma list: trunc-family methods sweep it per
+  bit-width (the reference's own run_experiments.py protocol) and a
+  ``trunc_best``-style row reports the per-bit winner, while GPTQ
+  stays at its fixed default damp.
+- ``--outlier_channels`` trains the tiny model WITH induced
+  massive-activation channels (tiny_train), giving calibration
+  Hessians the trace-dominating channel structure of real LLMs.
+- ``--a_bits 16,8`` adds the activation-precision axis: rows evaluate
+  through the packed-checkpoint forward path with act_bits marked
+  (the XLA path simulates the int8-MXU kernel semantics exactly), and
+  a per-group activation int8-quantization error report is printed
+  from a calibration pass.
+
 Usage:
-  python -m tgq.cli.tiny_quality_bench [--steps 300] [--bits 4,3,2]
+  python -m tgq.cli.tiny_quality_bench [--steps 300] [--bits 4,3,2] \
+      [--eps 1e-6,1e-5,1e-4] [--a_bits 16,8] [--outlier_channels 4]
 """
 from __future__ import annotations
 
@@ -17,6 +32,43 @@ import argparse
 import copy
 import csv
 import json
+import tempfile
+
+
+def activation_report(params, cfg, calib) -> list[dict]:
+    """Per-layer, per-group int8 activation-quantization relative error
+    from a calibration pass — the distribution behind the A8 rows.
+    Returns rows {layer, group, absmax_mean, absmax_max, rel_err}."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tgq.calib.pipeline import _group_input
+    from tgq.kernels.dequant_matmul import quantize_activations
+    from tgq.models.causal_lm import embed_tokens, rope_cache
+    from tgq.calib.pipeline import _layer_forward
+
+    ids = jnp.asarray(calib)
+    x = embed_tokens(params, ids)
+    cos, sin = rope_cache(cfg, ids.shape[1])
+    rows = []
+    layers = params["model"]["layers"]
+    for li, lp in enumerate(layers):
+        for gi in range(4):
+            xg = _group_input(lp, cfg, gi, x, cos, sin, attn_impl="naive")
+            xf = np.asarray(xg.astype(jnp.float32)).reshape(
+                -1, xg.shape[-1])
+            q8, a = quantize_activations(jnp.asarray(xf))
+            xq = np.asarray(q8, np.float32) * np.asarray(a)
+            rel = float(np.linalg.norm(xq - xf)
+                        / max(np.linalg.norm(xf), 1e-30))
+            rows.append({
+                "layer": li, "group": gi,
+                "absmax_mean": round(float(np.asarray(a).mean()), 5),
+                "absmax_max": round(float(np.asarray(a).max()), 5),
+                "rel_err": round(rel, 5),
+            })
+        x = _layer_forward(lp, cfg, x, cos, sin, attn_impl="naive")
+    return rows
 
 
 def main(argv=None) -> int:
@@ -28,23 +80,39 @@ def main(argv=None) -> int:
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--bits", default="4,3,2")
     ap.add_argument("--methods", default="pchol,eigh,gptq,rtn")
-    ap.add_argument("--eps", type=float, default=1e-5)
+    ap.add_argument("--eps", default="1e-5",
+                    help="comma list → per-bit ε sweep for trunc methods")
+    ap.add_argument("--a_bits", default="16",
+                    help="comma list, e.g. 16,8 — activation precision "
+                         "axis (packed-checkpoint eval path)")
     ap.add_argument("--group_size", type=int, default=32)
     ap.add_argument("--n_calib", type=int, default=16)
+    ap.add_argument("--damp_percent", type=float, default=0.01)
+    ap.add_argument("--outlier_channels", type=int, default=0)
+    ap.add_argument("--outlier_scale", type=float, default=30.0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--act_report", action="store_true",
+                    help="print per-group activation int8 error table")
     ap.add_argument("--out", default=None, help="CSV output path")
     args = ap.parse_args(argv)
 
     from tgq.calib import QuantizeConfig, quantize_model
     from tgq.calib.tiny_train import sample_stream, train_tiny
+    from tgq.core.checkpoint import load_quantized, save_quantized
     from tgq.eval import perplexity_from_token_stream
     from tgq.models.config import PRESETS
 
     cfg = PRESETS[args.model_id]
-    params, probs, loss = train_tiny(cfg, steps=args.steps, seed=args.seed)
+    params, probs, loss = train_tiny(
+        cfg, steps=args.steps, seed=args.seed,
+        outlier_channels=args.outlier_channels,
+        outlier_scale=args.outlier_scale)
     calib = sample_stream(probs, args.n_calib * 64, seed=7).reshape(
         args.n_calib, 64)
     eval_ids = sample_stream(probs, 4096, seed=99)
+    eps_list = [float(e) for e in args.eps.split(",")]
+    a_bits_list = [int(a) for a in args.a_bits.split(",")]
+    need_pack = any(a != 16 for a in a_bits_list)
 
     def ppl_of(p):
         return perplexity_from_token_stream(
@@ -52,29 +120,73 @@ def main(argv=None) -> int:
 
     base = ppl_of(params)
     print(f"trained base ppl {base:.4f} (uniform bound {cfg.vocab_size}; "
-          f"train loss {loss:.3f})")
+          f"train loss {loss:.3f}; outlier_channels "
+          f"{args.outlier_channels})")
+
+    if args.act_report:
+        for r in activation_report(params, cfg, calib):
+            print(f"act-int8 layer {r['layer']} group {r['group']}: "
+                  f"absmax mean {r['absmax_mean']} max {r['absmax_max']} "
+                  f"rel_err {r['rel_err']}")
+
     rows = []
     for bits in (int(b) for b in args.bits.split(",")):
         for mode in args.methods.split(","):
-            kw = {}
-            if mode in ("pchol", "eigh", "svd"):
-                kw["eps"] = args.eps
-            elif mode == "gptq":
-                kw["actorder"] = True
-            qcfg = QuantizeConfig(mode=mode, w_bits=bits,
-                                  group_size=args.group_size, batch_size=4,
-                                  block_size=32, attn_impl="naive", **kw)
-            p, _, _ = quantize_model(copy.deepcopy(params), cfg, calib, qcfg)
-            ppl = ppl_of(p)
-            rows.append({"bits": bits, "method": mode,
-                         "ppl": round(float(ppl), 4),
-                         "delta": round(float(ppl - base), 4)})
-            print(f"W{bits} {mode:6s} ppl {ppl:.4f} (d {ppl - base:+.4f})")
+            sweeps = (eps_list if mode in ("pchol", "eigh", "svd")
+                      else [None])
+            for eps in sweeps:
+                kw = {}
+                if eps is not None:
+                    kw["eps"] = eps
+                elif mode == "gptq":
+                    kw["actorder"] = True
+                    kw["damp_percent"] = args.damp_percent
+                qcfg = QuantizeConfig(
+                    mode=mode, w_bits=bits, group_size=args.group_size,
+                    batch_size=4, block_size=32, attn_impl="naive",
+                    pack=need_pack, **kw)
+                qp, packed, _ = quantize_model(
+                    copy.deepcopy(params), cfg, calib, qcfg)
+                evals = {}
+                if need_pack:
+                    from tgq.serve.engine import _mark_act_bits
+
+                    with tempfile.TemporaryDirectory() as d:
+                        save_quantized(d, qp, packed, cfg)
+                        tree, _, _ = load_quantized(d)
+                    for ab in a_bits_list:
+                        evals[ab] = (tree if ab == 16
+                                     else _mark_act_bits(tree, 8)[0])
+                else:
+                    evals[16] = qp
+                for ab, p_eval in evals.items():
+                    ppl = ppl_of(p_eval)
+                    rows.append({
+                        "bits": bits, "method": mode,
+                        "eps": "" if eps is None else eps,
+                        "a_bits": ab,
+                        "ppl": round(float(ppl), 4),
+                        "delta": round(float(ppl - base), 4)})
+                    tag = f" eps {eps:g}" if eps is not None else ""
+                    tag += f" A{ab}" if len(a_bits_list) > 1 else ""
+                    print(f"W{bits} {mode:6s}{tag} ppl {ppl:.4f} "
+                          f"(d {ppl - base:+.4f})", flush=True)
+        # per-bit trunc_best summary rows (reference sweep protocol)
+        for ab in a_bits_list:
+            cands = [r for r in rows
+                     if r["bits"] == bits and r["a_bits"] == ab
+                     and r["method"] in ("pchol", "eigh", "svd")]
+            if len(cands) > 1:
+                best = min(cands, key=lambda r: r["ppl"])
+                rows.append({**best, "method": "trunc_best"})
+                print(f"W{bits} trunc_best (eps {best['eps']:g}"
+                      f"{f' A{ab}' if len(a_bits_list) > 1 else ''}) "
+                      f"ppl {best['ppl']:.4f} (d {best['delta']:+.4f})")
 
     if args.out:
         with open(args.out, "w", newline="") as fh:
-            w = csv.DictWriter(fh, fieldnames=["bits", "method", "ppl",
-                                               "delta"])
+            w = csv.DictWriter(fh, fieldnames=["bits", "method", "eps",
+                                               "a_bits", "ppl", "delta"])
             w.writeheader()
             w.writerows(rows)
     print(json.dumps({"base_ppl": round(float(base), 4), "rows": rows}))

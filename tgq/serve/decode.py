@@ -111,7 +111,8 @@ def _slice_layer(tree, li):
     return rec(tree)
 
 
-def default_attn_impl(mesh=None, cfg=None, kv_bits: int = 16) -> str:
+def default_attn_impl(mesh=None, cfg=None, kv_bits: int = 16,
+                      kv_segments: int = 1) -> str:
     """Fused kernel on TPU — single-device, or TP meshes where every
     shard's pool slice stays DMA-aligned (the kernel runs per-shard via
     shard_map, see ``_kernel_attention_tp``); XLA gather path elsewhere.
@@ -122,21 +123,25 @@ def default_attn_impl(mesh=None, cfg=None, kv_bits: int = 16) -> str:
     slice.  Real presets (fused 768..1024) pass at tp ≤ 4; shrunken
     test configs may not, and fall back to gather.
 
-    int4 pools are excluded under TP entirely: the nibble packing is
-    split-half over the GLOBAL fused row (byte j holds features j and
-    j+F/2 — kv_cache._absmax_quantize4), so sharding the stored byte
-    axis on "model" hands each shard bytes for features
-    {[sB,(s+1)B) ∪ [F/2+sB, F/2+(s+1)B)} — NOT its kv heads' contiguous
-    range — and the per-shard kernel would pair half the q heads with
-    the wrong heads' K/V.  The gather path unpacks the logically-global
-    array with plain XLA ops, so GSPMD keeps it correct at any tp."""
+    int4 pools under TP require **segment-aligned nibble packing**
+    (``kv_segments == tp``): with the r4 global split-half layout (byte
+    j holds features j and j+F/2), sharding the stored byte axis on
+    "model" hands each shard bytes for features {[sB,(s+1)B) ∪
+    [F/2+sB, F/2+(s+1)B)} — NOT its kv heads' contiguous range — and
+    the per-shard kernel would pair q heads with the wrong heads' K/V.
+    With ``pack_segments == tp`` (kv_cache._absmax_quantize4) each
+    shard's slice is one self-contained split-half segment of exactly
+    its own heads, so the kernel's lane-concat unpack is correct
+    per shard; any other segment count falls back to gather (the
+    gather path unpacks the logically-global array with plain XLA ops,
+    so GSPMD keeps it correct at any tp)."""
     if jax.default_backend() != "tpu":
         return "gather"
     tp = 1 if mesh is None else mesh.shape.get("model", 1)
     if cfg is not None:
         if cfg.num_kv_heads % tp != 0:
             return "gather"
-        if kv_bits == 4 and tp > 1:
+        if kv_bits == 4 and tp > 1 and kv_segments != tp:
             return "gather"
         fused_local = cfg.num_kv_heads * cfg.head_dim // tp
         stored = fused_local // 2 if kv_bits == 4 else fused_local

@@ -182,9 +182,17 @@ class Engine:
                 # TP rules shard the unfused names, so mesh path skips)
                 params = fuse_packed_projections(params)
             params = stack_layer_params(params)
+        # int4 pools under TP: segment the nibble packing at shard
+        # boundaries so each shard's byte slice is self-contained and
+        # the fused attention kernel stays available (kv_cache
+        # pack_segments; r4 VERDICT directive #4)
+        tp = 1 if mesh is None else mesh.shape.get("model", 1)
+        segments = tp if (scfg.kv_bits == 4 and tp > 1
+                          and cfg.num_kv_heads % tp == 0) else 1
         cache = PagedKVCache.init(cfg, scfg.num_pages, scfg.page_size,
                                   kv_bits=scfg.kv_bits,
-                                  k_eq=scfg.kv_k_eq, v_eq=scfg.kv_v_eq)
+                                  k_eq=scfg.kv_k_eq, v_eq=scfg.kv_v_eq,
+                                  pack_segments=segments)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -222,7 +230,8 @@ class Engine:
         # nibble-packed lane extent), gather elsewhere; override for
         # experiments / interpret-mode testing
         self.attn_impl = (scfg.attn_impl if scfg.attn_impl != "auto"
-                          else default_attn_impl(mesh, cfg, scfg.kv_bits))
+                          else default_attn_impl(mesh, cfg, scfg.kv_bits,
+                                                 kv_segments=segments))
         self.pt = PageTable(scfg.num_pages, scfg.page_size, scfg.max_slots,
                             scfg.max_pages_per_slot)
         self.slots: list[Optional[Request]] = [None] * scfg.max_slots

@@ -28,6 +28,7 @@ BASELINE.json north-star component, built jax-native:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -206,6 +207,15 @@ class PagedKVCache:
     # head_dim/fused_dim for any cache built outside .init()
     num_kv_heads: int = dataclasses.field(
         kw_only=True, metadata=dict(static=True))
+    # int4 nibble layout: the fused row is divided into ``pack_segments``
+    # equal contiguous segments, each packed split-half INTERNALLY.
+    # pack_segments == tp makes every TP shard's byte slice a
+    # self-contained split-half block of exactly its own kv heads, so
+    # the fused attention kernel's lane-concat unpack works per shard
+    # (r4 VERDICT directive #4); 1 (default) is the single-device
+    # global split-half layout, unchanged.
+    pack_segments: int = dataclasses.field(
+        default=1, kw_only=True, metadata=dict(static=True))
 
     def __post_init__(self):
         # guard: JAX tree transforms may unflatten with sentinel leaves
@@ -217,7 +227,8 @@ class PagedKVCache:
     @classmethod
     def init(cls, cfg: ModelConfig, num_pages: int, page_size: int,
              dtype=jnp.bfloat16, kv_bits: int = 16,
-             k_eq=None, v_eq=None) -> "PagedKVCache":
+             k_eq=None, v_eq=None,
+             pack_segments: int = 1) -> "PagedKVCache":
         fused = cfg.num_kv_heads * cfg.head_dim
         shape = (cfg.num_layers, num_pages, page_size, fused)
         if kv_bits in (8, 4):
@@ -225,6 +236,9 @@ class PagedKVCache:
                       scale_pad(page_size))
             if kv_bits == 4:
                 shape = shape[:-1] + (fused // 2,)
+                assert cfg.num_kv_heads % pack_segments == 0 and (
+                    fused // pack_segments) % 2 == 0, (
+                    cfg.num_kv_heads, pack_segments)
             dt = jnp.int8 if kv_bits == 8 else jnp.uint8
             eq = lambda e: (None if e is None  # noqa: E731
                             else jnp.asarray(e, jnp.float32).reshape(
@@ -234,7 +248,9 @@ class PagedKVCache:
                        ks=jnp.zeros(sshape, jnp.float32),
                        vs=jnp.zeros(sshape, jnp.float32),
                        k_eq=eq(k_eq), v_eq=eq(v_eq),
-                       num_kv_heads=cfg.num_kv_heads)
+                       num_kv_heads=cfg.num_kv_heads,
+                       pack_segments=(pack_segments if kv_bits == 4
+                                      else 1))
         assert kv_bits == 16, kv_bits
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
                    num_kv_heads=cfg.num_kv_heads)
@@ -267,29 +283,48 @@ def _absmax_quantize(x: jax.Array):
     return q, s
 
 
-def _absmax_quantize4(x: jax.Array):
+def _absmax_quantize4(x: jax.Array, segments: int = 1):
     """(..., kvh, d) f32 → nibble-packed uint8 (..., kvh·d/2) +
     (..., kvh) f32 per-head scales.
 
     Scales are per token per head (symmetric absmax/7, codes clipped to
-    [-7, 7]); packing is split-half over the FLATTENED fused row —
-    byte j = (c[j]+8) | ((c[j+fused/2]+8) << 4) — so a token row
-    unpacks with one lane-concat regardless of head boundaries
-    (kv_unpack4)."""
+    [-7, 7]); packing is split-half within each of ``segments`` equal
+    contiguous chunks of the fused row (default 1 = the whole row) —
+    within a segment, byte j = (c[j]+8) | ((c[j+S/2]+8) << 4), so a
+    segment unpacks with one lane-concat regardless of head boundaries
+    (kv_unpack4).  ``segments == tp`` aligns segment boundaries with TP
+    shard boundaries (engine sets it), making each shard's byte slice
+    self-contained."""
     xf = x.astype(jnp.float32)
     s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1) / 7.0, 1e-10)
     q = jnp.clip(jnp.round(xf / s[..., None]), -7, 7).astype(jnp.int32) + 8
     flat = q.reshape(*q.shape[:-2], -1)
-    half = flat.shape[-1] // 2
-    packed = flat[..., :half] | (flat[..., half:] << 4)
+    fused = flat.shape[-1]
+    assert fused % (2 * segments) == 0, (fused, segments)
+    seg = flat.reshape(*flat.shape[:-1], segments, fused // segments)
+    half = fused // segments // 2
+    packed = (seg[..., :half] | (seg[..., half:] << 4)).reshape(
+        *flat.shape[:-1], fused // 2)
     return packed.astype(jnp.uint8), s
 
 
-def kv_unpack4(w: jax.Array, dtype=jnp.float32) -> jax.Array:
-    """Inverse of the nibble packing: (..., d/2) uint8 → (..., d)."""
+def kv_unpack4(w: jax.Array, dtype=jnp.float32,
+               segments: int = 1) -> jax.Array:
+    """Inverse of the nibble packing: (..., d/2) uint8 → (..., d).
+
+    With ``segments`` == 1 this is a single lane-concat — the form the
+    fused attention kernel uses on its per-shard block (a shard's slice
+    of a segment-packed pool with segments == tp IS one segment, so the
+    kernel never needs the segmented form)."""
     wi = w.astype(jnp.int32)
-    return jnp.concatenate(
-        [(wi & 0xF) - 8, ((wi >> 4) & 0xF) - 8], axis=-1).astype(dtype)
+    if segments == 1:
+        return jnp.concatenate(
+            [(wi & 0xF) - 8, ((wi >> 4) & 0xF) - 8], axis=-1).astype(dtype)
+    b = wi.shape[-1]
+    seg = wi.reshape(*wi.shape[:-1], segments, b // segments)
+    out = jnp.concatenate(
+        [(seg & 0xF) - 8, ((seg >> 4) & 0xF) - 8], axis=-1)
+    return out.reshape(*wi.shape[:-1], 2 * b).astype(dtype)
 
 
 def _eq_div(x: jax.Array, eq: Optional[jax.Array], layer) -> jax.Array:
@@ -334,7 +369,9 @@ def kv_write_token(cache: PagedKVCache, layer, pages: jax.Array,
             k=cache.k.at[layer, pages, offsets].set(kf.astype(cache.k.dtype)),
             v=cache.v.at[layer, pages, offsets].set(vf.astype(cache.v.dtype)),
         )
-    quant = _absmax_quantize4 if cache.kv_bits == 4 else _absmax_quantize
+    quant = (functools.partial(_absmax_quantize4,
+                               segments=cache.pack_segments)
+             if cache.kv_bits == 4 else _absmax_quantize)
     qk, sk = quant(_eq_div(k_new, cache.k_eq, layer))
     qv, sv = quant(_eq_div(v_new, cache.v_eq, layer))
     return dataclasses.replace(
@@ -365,7 +402,9 @@ def kv_write_token_all(cache: PagedKVCache, pages: jax.Array,
             k=cache.k.at[:, pages, offsets].set(kf.astype(cache.k.dtype)),
             v=cache.v.at[:, pages, offsets].set(vf.astype(cache.v.dtype)),
         )
-    quant = _absmax_quantize4 if cache.kv_bits == 4 else _absmax_quantize
+    quant = (functools.partial(_absmax_quantize4,
+                               segments=cache.pack_segments)
+             if cache.kv_bits == 4 else _absmax_quantize)
     qk, sk = quant(_eq_div_all(k_all, cache.k_eq))  # codes, (L, slots, kvh)
     qv, sv = quant(_eq_div_all(v_all, cache.v_eq))
     # ks (L, P, kvh, spad): the slice between the two advanced indices
@@ -402,7 +441,9 @@ def kv_write_pages(cache: PagedKVCache, layer, slot_pages: jax.Array,
             v=cache.v.at[layer, slot_pages].set(
                 tile(vf).astype(cache.v.dtype)),
         )
-    quant = _absmax_quantize4 if cache.kv_bits == 4 else _absmax_quantize
+    quant = (functools.partial(_absmax_quantize4,
+                               segments=cache.pack_segments)
+             if cache.kv_bits == 4 else _absmax_quantize)
     qk, sk = quant(_eq_div(k_new, cache.k_eq, layer))  # ([b,] seq, kvh)
     qv, sv = quant(_eq_div(v_new, cache.v_eq, layer))
     spad = cache.ks.shape[-1]
@@ -441,8 +482,8 @@ def kv_gather(cache: PagedKVCache, layer, table: jax.Array,
     k_l = cache.k[layer][table]  # gather pages, then unpack rows
     v_l = cache.v[layer][table]
     if cache.kv_bits == 4:
-        k_l = kv_unpack4(k_l, dtype)
-        v_l = kv_unpack4(v_l, dtype)
+        k_l = kv_unpack4(k_l, dtype, segments=cache.pack_segments)
+        v_l = kv_unpack4(v_l, dtype, segments=cache.pack_segments)
     kg = k_l.reshape(slots, mpps * page, kvh, d).astype(dtype)
     vg = v_l.reshape(slots, mpps * page, kvh, d).astype(dtype)
     if cache.ks is not None:
@@ -540,7 +581,9 @@ def window_flush(cache: PagedKVCache, win, table: jax.Array,
             v=cache.v.at[:, pages, offsets].set(
                 v_rows.reshape(L, slots * n, -1).astype(cache.v.dtype)),
         )
-    quant = _absmax_quantize4 if cache.kv_bits == 4 else _absmax_quantize
+    quant = (functools.partial(_absmax_quantize4,
+                               segments=cache.pack_segments)
+             if cache.kv_bits == 4 else _absmax_quantize)
     qk, sk = quant(_eq_div_all(k_rows, cache.k_eq))  # codes, (L, s·n, kvh)
     qv, sv = quant(_eq_div_all(v_rows, cache.v_eq))
     # ks (L, P, kvh, spad) at [:, pages, :, offsets]: advanced indices
