@@ -112,3 +112,27 @@ def test_pad_out_head_logits_unchanged():
     got = np.asarray(lm_logits({"lm_head": padded}, cfg, x))
     assert got.shape == want.shape == (3, 1, 600)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_int3_planes21_byte_layout():
+    """Pin the v2 'planes21' int3 byte layout (checkpoint pack_layout=2):
+    per group, g/4 bytes of split-quarter 2-bit plane then g/8 bytes of
+    split-eighth 1-bit plane.  A layout drift would silently corrupt
+    every stored W3 checkpoint, so the exact bytes are asserted."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tgq.core.packing import pack_rows
+
+    g = 8
+    codes = np.array([[1, 3, 0, 2, 5, 7, 4, 6]], np.int32)  # one group
+    p = np.asarray(pack_rows(jnp.asarray(codes), 3, group_size=g))
+    assert p.shape == (1, 3)
+    lo = codes & 3          # [1,3,0,2,1,3,0,2]
+    hi = (codes >> 2) & 1   # [0,0,0,0,1,1,1,1]
+    # 2-bit plane: byte j = lo[j] | lo[j+2]<<2 | lo[j+4]<<4 | lo[j+6]<<6
+    exp0 = lo[0, 0] | lo[0, 2] << 2 | lo[0, 4] << 4 | lo[0, 6] << 6
+    exp1 = lo[0, 1] | lo[0, 3] << 2 | lo[0, 5] << 4 | lo[0, 7] << 6
+    # 1-bit plane: byte 0 = sum hi[e] << e
+    exp2 = sum(int(hi[0, e]) << e for e in range(8))
+    assert list(p[0]) == [exp0, exp1, exp2], (p, [exp0, exp1, exp2])

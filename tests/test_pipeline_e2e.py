@@ -162,13 +162,17 @@ def test_low_bit_ordering_on_trained_tiny_model():
     assert deltas[(2, "pchol")] > deltas[(3, "pchol")], deltas
 
 
-def test_a8_activation_quantization_quality():
-    """W4A8 end-to-end quality on a trained tiny model: the per-token
-    int8 activation quantization must add at most a small fraction of
-    the W4 weight-quantization delta itself (measured +0.0007 over
-    W4's +0.044 at 300 train steps).  Runs the real packed-checkpoint
-    forward path with act_bits marked, via the XLA fallback's
-    simulation of the int8-MXU kernel semantics."""
+@pytest.mark.parametrize("w_bits", [4, 3, 2])
+def test_a8_activation_quantization_quality(w_bits):
+    """W{4,3,2}A8 end-to-end quality on a trained tiny model: the
+    per-token int8 activation quantization must add at most ~10 % of
+    the weight-quantization delta itself at every width (r4 VERDICT
+    directive #6; measured +0.0007/−0.0001/+0.0043 over weight deltas
+    of +0.044/+0.215/+2.315 at 300 steps — RESULTS.md a_bits table).
+    Runs the real packed-checkpoint forward path with act_bits marked,
+    via the XLA fallback's simulation of the int8-MXU kernel
+    semantics."""
+    import copy
     import tempfile
 
     from tgq.calib.tiny_train import sample_stream, train_tiny
@@ -185,16 +189,16 @@ def test_a8_activation_quantization_quality():
             p, cfg, eval_ids, max_length=64, stride=32, attn_impl="naive")
 
     base = ppl_of(params)
-    qcfg = QuantizeConfig(mode="pchol", w_bits=4, group_size=32,
+    qcfg = QuantizeConfig(mode="pchol", w_bits=w_bits, group_size=32,
                           batch_size=4, block_size=32, attn_impl="naive",
                           eps=1e-5, pack=True)
-    qp, packed, _ = quantize_model(params, cfg, calib, qcfg)
+    qp, packed, _ = quantize_model(copy.deepcopy(params), cfg, calib, qcfg)
     with tempfile.TemporaryDirectory() as d:
         save_quantized(d, qp, packed, cfg)
         tree, _, _ = load_quantized(d)
     d16 = float(ppl_of(tree) - base)
     d8 = float(ppl_of(_mark_act_bits(tree, 8)[0]) - base)
-    assert d8 - d16 < max(0.25 * abs(d16), 0.02), (d16, d8)
+    assert d8 - d16 < max(0.10 * abs(d16), 0.02), (w_bits, d16, d8)
 
 
 def test_trunc_beats_gptq_on_outlier_channel_model():

@@ -153,6 +153,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "short synthetic batch before serving (quantized "
                          "KV only; see tgq.serve.kv_calibrate)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--arrival_rate", type=float, default=0.0,
+                    help="open-loop mode: requests arrive by a Poisson "
+                         "process at this rate (req/s) and are submitted "
+                         "between engine ticks (Engine.step) instead of "
+                         "all up front — TTFT is then measured UNDER "
+                         "load, the serving-system headline.  0 = "
+                         "closed-loop (pre-submitted queue)")
     ap.add_argument("--profile_dir", default=None,
                     help="write a jax.profiler trace here")
     ap.add_argument("--mesh_model", type=int, default=0,
@@ -228,12 +235,33 @@ def run(args) -> dict:
     eng.decode_wall_s = eng.prefill_wall_s = 0.0
     eng.steps = eng.tokens_emitted = 0
 
-    reqs = [eng.submit(p) for p in prompts]
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
-    t0 = time.time()
-    eng.run()
-    wall = time.time() - t0
+    if args.arrival_rate > 0:
+        # open-loop: Poisson arrivals drive Engine.step() — requests
+        # land mid-flight and TTFT includes queueing under load
+        gaps = rng.exponential(1.0 / args.arrival_rate,
+                               size=len(prompts))
+        t0 = time.time()
+        arrivals = t0 + np.cumsum(gaps)
+        reqs = []
+        i = 0
+        while i < len(prompts) or not eng.idle:
+            now = time.time()
+            while i < len(prompts) and arrivals[i] <= now:
+                reqs.append(eng.submit(prompts[i]))
+                i += 1
+            if eng.idle and i < len(prompts):
+                # nothing in flight: sleep until the next arrival
+                time.sleep(max(0.0, arrivals[i] - time.time()))
+                continue
+            eng.step()
+        wall = time.time() - t0
+    else:
+        reqs = [eng.submit(p) for p in prompts]
+        t0 = time.time()
+        eng.run()
+        wall = time.time() - t0
     if args.profile_dir:
         jax.profiler.stop_trace()
 
@@ -250,6 +278,9 @@ def run(args) -> dict:
         "decode_only_tok_s": round(
             (total_tokens - len(reqs)) / max(eng.decode_wall_s, 1e-9), 2),
         "ttft_p50_s": round(float(np.percentile(ttft, 50)), 3),
+        "ttft_p90_s": round(float(np.percentile(ttft, 90)), 3),
+        "ttft_p99_s": round(float(np.percentile(ttft, 99)), 3),
+        "arrival_rate": args.arrival_rate,
         "config": {
             "model": cfg.name, "w_bits": args.w_bits, "kv_bits": args.kv_bits,
             # record the EFFECTIVE activation precision: a_bits=8 with

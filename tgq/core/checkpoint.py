@@ -44,6 +44,11 @@ def _flatten(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
     return out
 
 
+# bump when any sub-byte packed-code layout changes (migration notes in
+# the load_quantized error message); v2 = int3 "planes21" (r5)
+PACK_LAYOUT_VERSION = 2
+
+
 def save_quantized(
     path: str,
     params: Any,
@@ -111,7 +116,12 @@ def save_quantized(
         flat = base
     np.savez(os.path.join(path, "weights.npz"), **flat)
     meta = {"model_config": dataclasses.asdict(cfg),
-            "quant_config": qconfig or {}}
+            "quant_config": qconfig or {},
+            # sub-byte code layout version: 2 = int3 "planes21"
+            # (core.packing r5); v1 checkpoints (triple-byte int3
+            # bit-planes) must be re-packed — load_quantized refuses
+            # them for 3-bit weights rather than silently mis-decoding
+            "pack_layout": PACK_LAYOUT_VERSION}
     if n_shards:
         meta["layer_shards"] = n_shards
     with open(os.path.join(path, "config.json"), "w") as f:
@@ -200,6 +210,19 @@ def load_quantized(path: str, layer_callback=None):
     with open(os.path.join(path, "config.json")) as f:
         meta = json.load(f)
     cfg = ModelConfig(**meta["model_config"])
+    layout = int(meta.get("pack_layout", 1))
+    if layout != PACK_LAYOUT_VERSION:
+        w_bits = int(meta.get("quant_config", {}).get("w_bits", 0))
+        if w_bits == 3 or w_bits == 0:
+            raise ValueError(
+                f"checkpoint pack_layout v{layout} != current "
+                f"v{PACK_LAYOUT_VERSION}: the int3 code layout changed "
+                "(triple-byte bit-planes -> planes21, r5).  Re-quantize "
+                "or re-pack the checkpoint: load the dense bf16 leaves "
+                "with the old tgq revision, then save_quantized with "
+                "this one.  (int4/int2/int8 layouts are unchanged; "
+                "checkpoints at those widths load by setting "
+                "pack_layout in config.json.)")
     kv_eq: dict[str, np.ndarray] = {}
     tree: dict = {}
     with np.load(os.path.join(path, "weights.npz")) as data:

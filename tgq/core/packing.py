@@ -14,10 +14,15 @@ an (out, in) weight:
   yields two *contiguous* half-blocks (two shifts + masks), no lane
   interleave — a cheap VPU op inside a matmul kernel.
 - **int2**: four codes per int8 in split-quarter layout (same idea).
-- **int3**: three *bit-planes*, each packing 8 codes per int8 in
-  split-eighth layout; code ``k`` of eighth ``e`` lives at bit ``e`` of
-  byte ``k mod n/8`` in each plane.  Exactly 3 bits/code with no waste and
-  contiguous unpacked chunks.
+- **int3** (layout v2, "planes21"): a **2-bit plane** (the codes' low
+  two bits, split-quarter packed — g/4 bytes) followed by a **1-bit
+  plane** (the high bit, split-eighth packed — g/8 bytes) per group.
+  Exactly 3 bits/code with no waste, and the unpack is
+  ``lo2 | (hi1 << 2)`` — 4 + 8 lane-aligned shift/mask chunks, ~3×
+  less VPU work than the original three-plane triple-byte layout,
+  whose byte-boundary-crossing unpack cost W3 serving 24 % decode
+  throughput (r4 RESULTS.md low-bit table; redesigned per r4 VERDICT
+  directive #3).
 
 Symmetric codes (range ``[-max_q, max_q]``) are stored biased by
 ``+max_q`` so every stored code is unsigned; the bias is folded into the
@@ -54,31 +59,21 @@ def _split_unpack(packed: jax.Array, per_byte: int, bits: int) -> jax.Array:
     return jnp.concatenate(chunks, axis=-1)
 
 
-def _bitplane_pack(codes: jax.Array, bits: int) -> jax.Array:
-    """Pack b-bit codes as ``bits`` bit-planes, 8 codes per byte per plane."""
-    *lead, n = codes.shape
-    assert n % 8 == 0, n
-    chunk = n // 8
-    c = codes.astype(jnp.int32).reshape(*lead, 8, chunk)
-    eighth = jnp.arange(8, dtype=jnp.int32).reshape(*(1 for _ in lead), 8, 1)
-    planes = []
-    for b in range(bits):
-        bit = (c >> b) & 1
-        planes.append(jnp.sum(bit << eighth, axis=-2).astype(jnp.uint8))
-    return jnp.stack(planes, axis=-2)  # (..., bits, n/8)
+def _planes21_pack(codes: jax.Array) -> jax.Array:
+    """3-bit "planes21" layout: the low 2 bits split-quarter packed
+    (n/4 bytes) followed by the high bit split-eighth packed (n/8
+    bytes) — 3n/8 bytes total, both planes lane-aligned."""
+    c = codes.astype(jnp.int32)
+    lo = _split_pack(c & 0x3, 4, 2)            # (..., n/4)
+    hi = _split_pack((c >> 2) & 0x1, 8, 1)     # (..., n/8)
+    return jnp.concatenate([lo, hi], axis=-1)  # (..., 3n/8)
 
 
-def _bitplane_unpack(planes: jax.Array, bits: int) -> jax.Array:
-    *lead, nbits, chunk = planes.shape
-    assert nbits == bits
-    p = planes.astype(jnp.int32)
-    chunks = []
-    for e in range(8):
-        val = jnp.zeros((*lead, chunk), dtype=jnp.int32)
-        for b in range(bits):
-            val = val | (((p[..., b, :] >> e) & 1) << b)
-        chunks.append(val)
-    return jnp.concatenate(chunks, axis=-1)
+def _planes21_unpack(packed: jax.Array, n: int) -> jax.Array:
+    """Inverse: (..., 3n/8) → (..., n) int32 codes = ``lo2 | hi1<<2``."""
+    lo = _split_unpack(packed[..., : n // 4], 4, 2)
+    hi = _split_unpack(packed[..., n // 4:], 8, 1)
+    return lo | (hi << 2)
 
 
 def pack_rows(codes: jax.Array, bits: int, group_size: int | None = None) -> jax.Array:
@@ -98,9 +93,7 @@ def pack_rows(codes: jax.Array, bits: int, group_size: int | None = None) -> jax
     elif bits == 2:
         out = _split_pack(cg, 4, 2)
     elif bits == 3:
-        out = _bitplane_pack(cg, 3)
-        # (..., n//g, 3, g/8) -> flatten the plane dim into the byte axis
-        out = out.reshape(*lead, n // g, 3 * (g // 8))
+        out = _planes21_pack(cg)  # (..., n//g, 3g/8)
     else:
         raise ValueError(f"unsupported bit width {bits}")
     return out.reshape(*lead, -1)
@@ -121,7 +114,7 @@ def unpack_rows(packed: jax.Array, bits: int, group_size: int | None = None,
     elif bits == 2:
         out = _split_unpack(pg, 4, 2)
     elif bits == 3:
-        out = _bitplane_unpack(pg.reshape(*lead, n // g, 3, g // 8), 3)
+        out = _planes21_unpack(pg, g)
     else:
         raise ValueError(f"unsupported bit width {bits}")
     return out.reshape(*lead, n)

@@ -46,14 +46,20 @@ def _unpack_codes(pg: jax.Array, bits: int, group_size: int):
     elif bits == 2:
         q = jnp.concatenate([(w >> s) & 0x3 for s in (0, 2, 4, 6)], axis=1)
     elif bits == 3:
-        w4 = w.reshape(ng, 3, g // 8, to)
-        chunks = [
-            (((w4[:, 0] >> e) & 1)
-             | (((w4[:, 1] >> e) & 1) << 1)
-             | (((w4[:, 2] >> e) & 1) << 2))
-            for e in range(8)
-        ]
-        q = jnp.concatenate(chunks, axis=1)
+        # planes21 layout (core.packing): per group, 2-bit plane (g/4
+        # bytes, split-quarter) then 1-bit plane (g/8 bytes,
+        # split-eighth).  12 lane-aligned leading-dim chunks — ~3×
+        # less VPU work than the old triple-byte layout's 8 chunks ×
+        # 3 reads + 5 bit-ops (which measured a 24 % decode
+        # throughput loss).  NOTE: a 4-D broadcasted-shift form (no
+        # concats) fails Mosaic lowering (`tpu.reshape` on the 4-D
+        # shift vector) — keep the chunk-concat form.
+        w2 = w[:, : g // 4]            # (ng, g/4, to)
+        w1 = w[:, g // 4:] << 2        # (ng, g/8, to); chunks: (>>e)&4
+        lo = jnp.concatenate([(w2 >> (2 * i)) & 0x3 for i in range(4)],
+                             axis=1)
+        hi = jnp.concatenate([(w1 >> e) & 0x4 for e in range(8)], axis=1)
+        q = lo | hi
     else:
         raise ValueError(bits)
     return q

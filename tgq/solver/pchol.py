@@ -146,13 +146,16 @@ def _pivoted_cholesky_pallas(h: jax.Array, panel: int = 128,
     strips, perms, dhs, phs = [], [], [], []
     num_panels = n // panel
     for p in range(num_panels):
-        strip, d, done, perm, dh, ph = pchol_panel(
+        strip, d, done, perm, ph = pchol_panel(
             a, d, done, panel=panel, interpret=interpret)
         if p + 1 < num_panels:
             a = a - _dot(strip.T, strip)
         strips.append(strip)
         perms.append(perm)
-        dhs.append(dh)
+        # dhist[k] = ‖l_k‖² — computed here (one XLA reduction per
+        # panel) instead of in-kernel, where it cost a serial (1, n)
+        # reduction every step (r5 ablation)
+        dhs.append(jnp.sum(strip * strip, axis=1)[None, :])
         phs.append(ph)
     lt = jnp.concatenate(strips, axis=0)
     perm = jnp.concatenate(perms, axis=1)[0]
