@@ -321,3 +321,29 @@ def test_gptq_cholesky_path_beats_rtn(rng):
     err_gptq = np.linalg.norm(y - x @ np.asarray(res.w_q).T) / np.linalg.norm(y)
     err_rtn = np.linalg.norm(y - x @ w_rtn.T) / np.linalg.norm(y)
     assert err_gptq < err_rtn
+
+
+def test_trunc_regimes_cell():
+    """The regime-hunt harness (tgq.cli.trunc_regimes) stays runnable:
+    one tiny cell per spectrum produces finite errors, correct row
+    structure, and the channel spectrum reproduces diag spread."""
+    import numpy as np
+
+    from tgq.cli.trunc_regimes import make_true_cov, run_cell
+
+    rng = np.random.default_rng(0)
+    for spectrum in ("log", "outlier", "channel"):
+        c, lam = make_true_cov(64, 4.0, rng, spectrum=spectrum)
+        h = c @ c.T
+        assert np.isfinite(h).all()
+        if spectrum == "channel":
+            d = np.diagonal(h)
+            assert d.max() / np.median(d) > 50  # outlier channels
+        rows = run_cell(64, 32, 4.0, 128, [4], seed=0, group_size=32,
+                        damp_percent=0.01, heavy_tail=False,
+                        eps_grid=(1e-6, 1e-3), spectrum=spectrum)
+        methods = {r["method"] for r in rows}
+        assert methods == {"gptq", "rtn", "trunc_best"}, methods
+        for r in rows:
+            assert np.isfinite(r["err_oos"]) and r["err_oos"] > 0
+            assert 0.0 <= r["mass_top"] <= 1.0
