@@ -507,7 +507,11 @@ def quantize_layer(
                     )
                     codes, wq = res.codes, res.w_q
                     scale, zero = res.scale, res.zero
-                    rank, rel = stats.rank, float(res.rel_error)
+                    # rel_error stays a DEVICE scalar until the
+                    # layer-end flush: float() here blocked the host on
+                    # every module's full quantize (a tunnel round-trip
+                    # × 7/layer of pipeline bubbles on a remote chip)
+                    rank, rel = stats.rank, res.rel_error
             # write back dequantized weight (bf16) for the staged forwards
             old = get_nested(lp, name)
             new_p = dict(old) if isinstance(old, dict) else {}
@@ -519,8 +523,6 @@ def quantize_layer(
                     bias=(jnp.asarray(old["b"], jnp.float32)
                           if isinstance(old, dict) and "b" in old else None))
             solve_time = time.time() - t_solve
-            logger.info("   %-22s | rank %5s | rel_err %.4f | %.2fs",
-                        name, rank, rel, solve_time)
             module_stats.append(
                 {"name": f"{name_prefix}{name}", "rank": int(rank),
                  "time": solve_time, "rel_error": rel})
@@ -531,6 +533,15 @@ def quantize_layer(
         else:  # rtn path never staged
             outs = [_layer_forward(lp, cfg, inps[j : j + bs], cos, sin,
                                    attn_impl=qcfg.attn_impl) for j in idx]
+    # flush deferred per-module rel_error scalars with ONE host sync at
+    # layer end (all device work above is already dispatched); the
+    # per-module log lines keep the format extract_log.py mines
+    for m in module_stats:
+        rel = m["rel_error"]
+        if not isinstance(rel, float):
+            m["rel_error"] = rel = float(rel)
+        logger.info("   %-22s | rank %5s | rel_err %.4f | %.2fs",
+                    m["name"], m["rank"], rel, m["time"])
     return lp, outs, module_stats, packed
 
 

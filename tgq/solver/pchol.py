@@ -187,6 +187,25 @@ def pivoted_cholesky(h, panel: int = 128):
     return lt, perm, dhist
 
 
+@jax.jit
+def _rank_on_device(dhist, pivhist, eps, pivot_rtol):
+    """Device mirror of ``trace_rank`` + the pivot_rtol numerical-rank
+    guard — lets the TPU path dispatch the factor build without a host
+    round-trip (see pchol_factor).  f32 cumsum vs the host's f64 can
+    differ by ±1 rank on an exact threshold tie; otherwise identical."""
+    d = dhist.astype(jnp.float32)
+    total = jnp.sum(d)
+    cs = jnp.cumsum(d)
+    tr = jnp.sum((cs <= (1.0 - eps) * total).astype(jnp.int32))
+    tr = jnp.where(tr < d.shape[0], tr + 1, tr)
+    tr = jnp.clip(tr, 1, jnp.maximum(jnp.sum((d > 0).astype(jnp.int32)), 1))
+    p = pivhist.reshape(-1)
+    nr = jnp.maximum(
+        jnp.sum((p > pivot_rtol * p[0]).astype(jnp.int32)), 1)
+    rank = jnp.minimum(tr, nr)
+    return jnp.where(total <= 0, 1, rank).astype(jnp.int32)
+
+
 def trace_rank(d_hist: np.ndarray, eps: float) -> int:
     """Smallest prefix capturing (1-eps) of the trace (the reference's
     "energy" rule applied to the pivoted-Cholesky trace decomposition)."""
@@ -300,32 +319,67 @@ def pchol_factor(
     """
     h = jnp.asarray(h)
     n = h.shape[0]
+    use_pallas = _uses_pallas_sweep(n, panel)
     if pivot_rtol is None:
-        pivot_rtol = 1e-4 if _uses_pallas_sweep(n, panel) else 1e-6
+        pivot_rtol = 1e-4 if use_pallas else 1e-6
     lt, perm, dhist, pivhist = _sweep(h, panel=panel)
-    pivhist = np.asarray(pivhist, np.float64)
-    if pivhist[0] <= 0.0:
-        # degenerate Hessian (all-zero trace): identity fallback — every
-        # column quantizes RTN (mirrors the reference's identity fallback,
-        # gptq_utils.py:162-164)
-        return FactorResult(
-            r_full=np.eye(n, dtype=np.float32),
-            perm=np.arange(n, dtype=np.int64),
-            rank=1,
-            r_x=np.zeros((n, n), np.float32),
-        )
-    num_rank = int((pivhist > pivot_rtol * pivhist[0]).sum())
-    rank = min(trace_rank(np.asarray(dhist), eps), max(num_rank, 1))
-    # factor build stays on device; rank is traced (one compile per width)
-    try:
-        r_full, r_x = _pchol_factors_fused(lt, perm, jnp.int32(rank),
-                                           want_rx=want_rx)
-    except jax.errors.JaxRuntimeError:
-        # fused build OOMed (lt was donated into the failed call — redo
-        # the sweep) → low-memory eager chain
-        lt, _, _, _ = _sweep(h, panel=panel)
-        r_full, r_x = _pchol_factors_jit(lt, perm, jnp.int32(rank),
-                                         want_rx=want_rx)
+    if use_pallas:
+        # TPU hot path: compute the rank ON DEVICE and dispatch the
+        # factor build BEFORE any host fetch.  The old order (fetch
+        # pivhist → host rank → dispatch) left the chip idle for a full
+        # tunnel round-trip per layer-group while the host decided a
+        # number the device could compute itself; now the build queues
+        # behind the sweep and the host's pivhist/rank fetch overlaps
+        # with it.  Device f32 cumsum can differ from the host's f64 by
+        # ±1 rank at an exact threshold tie — immaterial (rank of
+        # thousands) and the returned FactorResult.rank is the rank the
+        # factor was actually built with.  Host semantics are kept
+        # bit-exact on the CPU/jnp path below (parity tests).
+        rank_dev = _rank_on_device(dhist, pivhist, jnp.float32(eps),
+                                   jnp.float32(pivot_rtol))
+        try:
+            r_full, r_x = _pchol_factors_fused(lt, perm, rank_dev,
+                                               want_rx=want_rx)
+        except jax.errors.JaxRuntimeError:
+            lt, _, _, _ = _sweep(h, panel=panel)
+            r_full, r_x = _pchol_factors_jit(lt, perm, rank_dev,
+                                             want_rx=want_rx)
+        pivhist = np.asarray(pivhist, np.float64)  # sweep done; build runs
+        if pivhist[0] <= 0.0:
+            return FactorResult(
+                r_full=np.eye(n, dtype=np.float32),
+                perm=np.arange(n, dtype=np.int64),
+                rank=1,
+                r_x=np.zeros((n, n), np.float32),
+            )
+        rank = int(rank_dev)
+        if rank < 1:
+            rank = 1
+    else:
+        pivhist = np.asarray(pivhist, np.float64)
+        if pivhist[0] <= 0.0:
+            # degenerate Hessian (all-zero trace): identity fallback —
+            # every column quantizes RTN (mirrors the reference's
+            # identity fallback, gptq_utils.py:162-164)
+            return FactorResult(
+                r_full=np.eye(n, dtype=np.float32),
+                perm=np.arange(n, dtype=np.int64),
+                rank=1,
+                r_x=np.zeros((n, n), np.float32),
+            )
+        num_rank = int((pivhist > pivot_rtol * pivhist[0]).sum())
+        rank = min(trace_rank(np.asarray(dhist), eps), max(num_rank, 1))
+        # factor build stays on device; rank is traced (one compile
+        # per width)
+        try:
+            r_full, r_x = _pchol_factors_fused(lt, perm, jnp.int32(rank),
+                                               want_rx=want_rx)
+        except jax.errors.JaxRuntimeError:
+            # fused build OOMed (lt was donated into the failed call —
+            # redo the sweep) → low-memory eager chain
+            lt, _, _, _ = _sweep(h, panel=panel)
+            r_full, r_x = _pchol_factors_jit(lt, perm, jnp.int32(rank),
+                                             want_rx=want_rx)
     # f32 breakdown guard: on extreme spectra (cond ≳ 1e9 — retained
     # pivots spanning more than the triangular solves' f32 range) the
     # factor build goes all-NaN (measured on a 5-decade synthetic
