@@ -186,3 +186,42 @@ def test_extreme_spectrum_stays_finite(rng):
     wq = np.asarray(quantize_weight(jnp.asarray(w), f, spec,
                                     with_error=False).w_q)
     assert np.isfinite(wq).all()
+
+
+def test_outlier_spectrum_quality_matches_eigh():
+    """Channel-outlier Hessians (the real-LLM shape: a few variances
+    1e4x the bulk) must NOT collapse the pchol rank: r5 found the
+    bf16-X3 Schur updates' noise floor swallowed the entire bulk on
+    the TPU path (rank 735 -> 8, quality -20% vs eigh); the sweep now
+    runs exact-f32 Schur updates (_dot_schur).  This guards the host
+    path; the TPU-path measurement is committed in RESULTS.md."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tgq.core.quant import QuantSpec
+    from tgq.solver.factorize import trunc_spectral_factor
+    from tgq.solver.gptq_loop import quantize_weight
+    from tgq.solver.pchol import pchol_factor
+
+    rng = np.random.default_rng(0)
+    n, m, N = 256, 128, 2048
+    d = np.concatenate([np.full(4, 1e4), np.logspace(0, -3, n - 4)])
+    rng.shuffle(d)
+    r_corr = 0.9 ** np.abs(np.subtract.outer(np.arange(n), np.arange(n)))
+    c = d[:, None] ** 0.5 * np.linalg.cholesky(r_corr + 1e-12 * np.eye(n))
+    x = rng.standard_normal((N, n)) @ c.T
+    h = x.T @ x / N
+    w = rng.standard_normal((m, n)).astype(np.float32)
+    spec = QuantSpec(bits=4, group_size=64, sym=False)
+
+    fp = pchol_factor(jnp.asarray(h, jnp.float32), eps=1e-6)
+    fe = trunc_spectral_factor(h, eps=1e-6, method="energy")
+    # rank must cover the bulk, not just the outliers
+    assert fp.rank > n // 4, (fp.rank, fe.rank)
+    wq_p = np.asarray(quantize_weight(jnp.asarray(w), fp, spec,
+                                      with_error=False).w_q, np.float64)
+    wq_e = np.asarray(quantize_weight(jnp.asarray(w), fe, spec,
+                                      with_error=False).w_q, np.float64)
+    ep = np.linalg.norm((w - wq_p) @ c) / np.linalg.norm(w @ c)
+    ee = np.linalg.norm((w - wq_e) @ c) / np.linalg.norm(w @ c)
+    assert ep <= ee * 1.05, (ep, ee, fp.rank, fe.rank)

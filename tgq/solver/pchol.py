@@ -57,6 +57,30 @@ def _dot(a, b):
     )
 
 
+def _dot_schur(a, b):
+    """Exact-f32 (HIGHEST) dot for the SWEEP's Schur updates.
+
+    The sweep's pivot resolution is set by the precision of the Schur
+    complement: with the X3 (3-pass bf16) GEMMs the accumulated noise
+    floor sits near 1e-4 of the TOP pivot, and on outlier-dominated
+    spectra (real-LLM Hessians: channel variances spanning 1e4) that
+    floor swallowed the ENTIRE bulk — measured r5: rank collapsed
+    735 → 8 and quantization quality degraded 20 % vs eigh.  HIGHEST
+    Schur updates restore the exact-f32 floor (~√n·eps ≈ 1e-5 of top at
+    12288) at no measurable sweep cost (0.245 → 0.251 s at 12288²: the
+    sweep is latency-bound, not GEMM-bound), fix rank-deficient
+    detection at tight rtol (a rank-20 matrix reads exactly 20 down to
+    rtol 1e-6, where the X3 floor used to read ≈ n), and bring TPU
+    quality to parity with the CPU path (err ratio vs eigh 0.94).  The
+    factor BUILD keeps X3 (`_dot`): its output feeds quantization with
+    a ~1e-2 noise tolerance."""
+    return jax.lax.dot_general(
+        a, b, (((a.ndim - 1,), (0,)), ((), ())),
+        precision=_HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
 @partial(jax.jit, static_argnames=("panel",))
 def _pivoted_cholesky_jit(h: jax.Array, panel: int = 128):
     """Full-length greedy pivoted Cholesky.
@@ -112,15 +136,16 @@ def _pivoted_cholesky_jit(h: jax.Array, panel: int = 128):
         a, strip, perm, dhist, pivhist, d, done = jax.lax.fori_loop(
             lo, hi, panel_step, (a, strip, perm, dhist, pivhist, d, done)
         )
-        # fold the finished panel into the Schur complement (one MXU GEMM)
-        a = a - _dot(strip.T, strip)
+        # fold the finished panel into the Schur complement (one MXU
+        # GEMM, exact f32 — see _dot_schur)
+        a = a - _dot_schur(strip.T, strip)
         lt = jax.lax.dynamic_update_slice_in_dim(lt, strip, lo, 0)
     return lt, perm, dhist, pivhist
 
 
 @partial(jax.jit, donate_argnums=(0,))
 def _apply_panel(a, strip):
-    return a - _dot(strip.T, strip)
+    return a - _dot_schur(strip.T, strip)
 
 
 @jax.jit
@@ -149,7 +174,7 @@ def _pivoted_cholesky_pallas(h: jax.Array, panel: int = 128,
         strip, d, done, perm, ph = pchol_panel(
             a, d, done, panel=panel, interpret=interpret)
         if p + 1 < num_panels:
-            a = a - _dot(strip.T, strip)
+            a = a - _dot_schur(strip.T, strip)
         strips.append(strip)
         perms.append(perm)
         # dhist[k] = ‖l_k‖² — computed here (one XLA reduction per
@@ -308,20 +333,20 @@ def pchol_factor(
     ``pivot_rtol``: numerical-rank guard — pivots below rtol × the first
     pivot are unresolvable by the sweep's arithmetic (LAPACK pstrf-style
     breakdown stop); columns beyond that degrade to RTN regardless of
-    ``eps``.  The default is keyed to the arithmetic the sweep actually
-    uses (advisor r3): **1e-4** for the Pallas panel kernel, whose
-    BF16_BF16_F32_X3 Schur updates leave a ~n·1e-7-of-top-pivot noise
-    floor after rank exhaustion (measured on-chip: at 1e-6 a truly
-    rank-20 matrix read rank ≈ n and the H⁺ factor build went
-    ill-conditioned); **1e-6** for the exact-f32 jit sweep (CPU and
-    off-tile shapes), where pivots between 1e-6 and 1e-4 are genuine
-    and degrading them to RTN would be a silent quality loss.
+    ``eps``.  Both sweeps now run exact-f32 Schur updates (r5,
+    `_dot_schur` — the r3/r4 bf16-X3 updates collapsed the rank on
+    outlier-dominated spectra and forced a 1e-4 guard), so the default
+    is **1e-5** for the Pallas panel kernel (the f32 accumulation floor
+    ~√n·eps of the top pivot at 12288; measured on-chip r5: quality vs
+    eigh ratio 0.94 on a 1e4-outlier channel spectrum, and a truly
+    rank-20 matrix reads exactly 20) and **1e-6** for the jit sweep
+    (CPU and off-tile shapes).
     """
     h = jnp.asarray(h)
     n = h.shape[0]
     use_pallas = _uses_pallas_sweep(n, panel)
     if pivot_rtol is None:
-        pivot_rtol = 1e-4 if use_pallas else 1e-6
+        pivot_rtol = 1e-5 if use_pallas else 1e-6
     lt, perm, dhist, pivhist = _sweep(h, panel=panel)
     if use_pallas:
         # TPU hot path: compute the rank ON DEVICE and dispatch the
