@@ -102,7 +102,7 @@ def main(argv=None) -> int:
         _ = float(many(x, args.reps))  # compile + settle
         _ = float(many(x, 2 * args.reps))
         slopes = []
-        for _attempt in range(4):
+        for _attempt in range(8):
             t0 = time.time()
             t_n = float(many(x, args.reps)) * 0 + time.time() - t0
             t0 = time.time()
@@ -110,7 +110,11 @@ def main(argv=None) -> int:
             slopes.append((t_2n - t_n) / args.reps)
         slopes.sort()
         dt = slopes[len(slopes) // 2]
-        if dt <= 0:
+        wb_check = weight_bytes(in_f, out_f, args.w_bits, args.group_size)
+        if dt <= 0 or wb_check / dt / 1e9 > 1.2 * peak:
+            # non-positive or physically impossible (> HBM peak) median:
+            # the tunnel jitter swamped this shape — report it as
+            # unstable rather than printing absurd GB/s
             print(f"[kernel] {name}: unstable timing, skipped",
                   flush=True)
             continue
