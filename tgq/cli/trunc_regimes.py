@@ -156,7 +156,6 @@ def run_cell(n: int, m: int, decades: float, n_tokens: int, bits_list,
     rows = []
     wj = jnp.asarray(w)
     w64 = w.astype(np.float64)
-    wc = np.linalg.norm(w64 @ c_true)
 
     def stats(wq, codes, spec, rank):
         dw = w64 - wq
