@@ -215,9 +215,9 @@ def test_trunc_beats_gptq_on_outlier_channel_model():
     truncation compensates undamped (exact in the retained block).
 
     e2e W3 PPL delta: pchol(eps=1e-6) <= gptq at the reference's own
-    damp_percent=0.01 — holds on 4/4 train seeds (mean -8.5%,
-    artifacts/trunc_w3_robustness_r05.txt); pinned here at seed 1
-    (measured margin ~15%: +0.768 vs +0.908).
+    damp_percent=0.01 — holds on 6/8 train seeds (mean -2.2%; the
+    first four went 4/4, artifacts/trunc_w3_robustness_r05.txt);
+    pinned here at seed 1 (measured margin ~15%: +0.768 vs +0.908).
     """
     import copy
 
